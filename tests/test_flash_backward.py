@@ -1,0 +1,92 @@
+"""Backward kernels vs jax.grad of the naive reference (SURVEY.md §3.3:
+FA2 two-phase backward; FP32 gradients)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umfa_tpu.ops.attention import flash_attention, reference_attention
+from umfa_tpu.utils.testing import TOL, make_qkv
+
+
+def _grads(fn, *args):
+    def loss(*a):
+        return jnp.sum(fn(*a) ** 2)
+
+    return jax.grad(loss, argnums=tuple(range(len(args))))(*args)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_backward_matches_reference(rng, causal):
+    q, k, v = make_qkv(rng, 1, 2, 256, 256, 64)
+
+    got = _grads(
+        lambda q, k, v: flash_attention(q, k, v, causal=causal, interpret=True),
+        q, k, v,
+    )
+    want = _grads(
+        lambda q, k, v: reference_attention(q, k, v, causal=causal), q, k, v
+    )
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            g, w, atol=1e-4, rtol=1e-4, err_msg=f"d{name} mismatch"
+        )
+
+
+def test_backward_ragged_seq(rng):
+    q, k, v = make_qkv(rng, 1, 2, 200, 200, 64)
+    got = _grads(
+        lambda q, k, v: flash_attention(q, k, v, causal=True, interpret=True),
+        q, k, v,
+    )
+    want = _grads(
+        lambda q, k, v: reference_attention(q, k, v, causal=True), q, k, v
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-4, rtol=1e-4)
+
+
+def test_backward_gqa(rng):
+    q, k, v = make_qkv(rng, 1, 8, 128, 128, 64, kv_heads=2)
+    got = _grads(
+        lambda q, k, v: flash_attention(q, k, v, interpret=True), q, k, v
+    )
+    want = _grads(lambda q, k, v: reference_attention(q, k, v), q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-4, rtol=1e-4)
+
+
+def test_backward_window(rng):
+    q, k, v = make_qkv(rng, 1, 2, 256, 256, 64)
+    win = (64, 0)
+    got = _grads(
+        lambda q, k, v: flash_attention(q, k, v, window=win, interpret=True),
+        q, k, v,
+    )
+    want = _grads(
+        lambda q, k, v: reference_attention(q, k, v, window=win), q, k, v
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-4, rtol=1e-4)
+
+
+def test_backward_with_bias(rng):
+    q, k, v = make_qkv(rng, 1, 2, 128, 128, 64)
+    bias = jnp.asarray(rng.normal(0, 1, (1, 1, 128, 128)), jnp.float32)
+    got = _grads(
+        lambda q, k, v: flash_attention(q, k, v, bias, interpret=True), q, k, v
+    )
+    want = _grads(lambda q, k, v: reference_attention(q, k, v, bias), q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-4, rtol=1e-4)
+
+
+def test_backward_bf16_grads_finite(rng):
+    q, k, v = make_qkv(rng, 1, 2, 128, 128, 64, dtype=jnp.bfloat16)
+    got = _grads(
+        lambda q, k, v: flash_attention(q, k, v, interpret=True), q, k, v
+    )
+    for g in got:
+        assert g.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(g, np.float32)).all()

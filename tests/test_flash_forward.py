@@ -1,0 +1,132 @@
+"""Dense fused forward vs naive reference — the analogue of the reference's
+MultiHeadFFITests precision/shape sweeps (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umfa_tpu.ops.attention import flash_attention, reference_attention
+from umfa_tpu.ops.flash_fwd import flash_attention_forward, BlockSizes
+from umfa_tpu.utils.testing import TOL, make_qkv
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_forward_matches_reference_fp32(rng, causal):
+    # BASELINE config 1: B=1 H=8 D=64 S=1024 causal, interpret on CPU.
+    q, k, v = make_qkv(rng, 1, 8, 1024, 1024, 64)
+    out, lse = flash_attention_forward(q, k, v, causal=causal, interpret=True)
+    want = reference_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])
+    assert lse.shape == (1, 8, 1024)
+    assert np.isfinite(np.asarray(lse)).all()
+
+
+def test_lse_values(rng):
+    q, k, v = make_qkv(rng, 1, 2, 128, 128, 64)
+    _, lse = flash_attention_forward(q, k, v, interpret=True)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (64**-0.5)
+    want = jax.scipy.special.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(lse, want, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "b,h,sq,sk,d",
+    [
+        (1, 1, 128, 128, 64),
+        (2, 4, 256, 256, 64),
+        (1, 2, 128, 512, 128),   # cross attention
+        (1, 2, 512, 128, 64),    # cross attention, long q
+        (1, 1, 100, 100, 64),    # ragged seq (padding path)
+        (1, 1, 64, 192, 64),     # ragged kv
+    ],
+)
+def test_forward_shapes(rng, b, h, sq, sk, d):
+    q, k, v = make_qkv(rng, b, h, sq, sk, d)
+    out, _ = flash_attention_forward(q, k, v, interpret=True)
+    want = reference_attention(q, k, v)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])
+
+
+def test_forward_causal_ragged(rng):
+    q, k, v = make_qkv(rng, 1, 2, 200, 200, 64)
+    out, _ = flash_attention_forward(q, k, v, causal=True, interpret=True)
+    want = reference_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])
+
+
+def test_forward_bf16(rng):
+    q, k, v = make_qkv(rng, 1, 4, 256, 256, 64, dtype=jnp.bfloat16)
+    out, _ = flash_attention_forward(q, k, v, interpret=True)
+    want = reference_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want), **TOL["bf16"]
+    )
+
+
+def test_custom_scale(rng):
+    # Reference: test_scale_factor_fix.py — custom softmax scale.
+    q, k, v = make_qkv(rng, 1, 2, 128, 128, 64)
+    out, _ = flash_attention_forward(q, k, v, scale=0.5, interpret=True)
+    want = reference_attention(q, k, v, scale=0.5)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])
+    # and causal != non-causal (reference: test_basic.py:214)
+    out_c, _ = flash_attention_forward(q, k, v, causal=True, interpret=True)
+    assert not np.allclose(out, out_c)
+
+
+def test_gqa_zero_copy(rng):
+    q, k, v = make_qkv(rng, 2, 8, 128, 128, 64, kv_heads=2)
+    out, _ = flash_attention_forward(q, k, v, interpret=True)
+    want = reference_attention(q, k, v)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])
+
+
+@pytest.mark.parametrize("window", [(64, 0), (32, 32), (-1, 16), (128, -1)])
+def test_sliding_window(rng, window):
+    q, k, v = make_qkv(rng, 1, 2, 256, 256, 64)
+    out, _ = flash_attention_forward(q, k, v, window=window, interpret=True)
+    want = reference_attention(q, k, v, window=window)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])
+
+
+def test_additive_bias_broadcast(rng):
+    q, k, v = make_qkv(rng, 2, 4, 128, 128, 64)
+    # (1, 1, Sq, Sk) broadcast bias
+    bias = jnp.asarray(rng.normal(0, 1, (1, 1, 128, 128)), jnp.float32)
+    out, _ = flash_attention_forward(q, k, v, bias, interpret=True)
+    want = reference_attention(q, k, v, bias)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])
+    # per-head bias (1, H, Sq, Sk)
+    bias_h = jnp.asarray(rng.normal(0, 1, (1, 4, 128, 128)), jnp.float32)
+    out_h, _ = flash_attention_forward(q, k, v, bias_h, interpret=True)
+    want_h = reference_attention(q, k, v, bias_h)
+    np.testing.assert_allclose(out_h, want_h, **TOL["fp32"])
+
+
+def test_bias_plus_causal(rng):
+    q, k, v = make_qkv(rng, 1, 2, 128, 128, 64)
+    bias = jnp.asarray(rng.normal(0, 1, (1, 1, 128, 128)), jnp.float32)
+    out, _ = flash_attention_forward(q, k, v, bias, causal=True, interpret=True)
+    want = reference_attention(q, k, v, bias, causal=True)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])
+
+
+def test_small_blocks(rng):
+    bs = BlockSizes(block_q=64, block_k=64)
+    q, k, v = make_qkv(rng, 1, 2, 256, 256, 64)
+    out, _ = flash_attention_forward(
+        q, k, v, causal=True, block_sizes=bs, interpret=True
+    )
+    want = reference_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])
+
+
+def test_seq_smaller_than_block(rng):
+    q, k, v = make_qkv(rng, 1, 2, 16, 16, 64)
+    out, _ = flash_attention_forward(q, k, v, interpret=True)
+    want = reference_attention(q, k, v)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])

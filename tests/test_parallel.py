@@ -1,0 +1,87 @@
+"""Sharding layer tests on the 8-virtual-device CPU mesh (SURVEY.md §4:
+multi-device via XLA host simulation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from umfa_tpu.ops.attention import reference_attention
+from umfa_tpu.parallel import make_mesh, ring_flash_attention, sharded_attention
+from umfa_tpu.utils.testing import TOL, make_qkv
+
+pytestmark = pytest.mark.multidevice
+
+
+def test_make_mesh_infers_size():
+    mesh = make_mesh(dp=2, sp=1, tp=-1)
+    assert mesh.devices.shape == (2, 1, 4)
+    assert mesh.axis_names == ("dp", "sp", "tp")
+
+
+def test_head_and_batch_sharded(rng):
+    mesh = make_mesh(dp=2, sp=1, tp=4)
+    q, k, v = make_qkv(rng, 2, 8, 128, 128, 64)
+    attn = sharded_attention(mesh, causal=True, interpret=True)
+    out = attn(q, k, v)
+    want = reference_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), want, **TOL["fp32"])
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention(rng, causal):
+    mesh = make_mesh(dp=1, sp=4, tp=2)
+    q, k, v = make_qkv(rng, 1, 2, 512, 512, 64)
+    attn = sharded_attention(
+        mesh, seq_axis="sp", causal=causal, interpret=True
+    )
+    out = attn(q, k, v)
+    want = reference_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4, rtol=1e-4)
+
+
+def test_ring_attention_grads(rng):
+    mesh = make_mesh(dp=1, sp=4, tp=1)
+    q, k, v = make_qkv(rng, 1, 2, 256, 256, 64)
+    attn = sharded_attention(mesh, seq_axis="sp", causal=True, interpret=True)
+
+    def loss(q, k, v):
+        return jnp.sum(attn(q, k, v) ** 2)
+
+    def ref_loss(q, k, v):
+        return jnp.sum(reference_attention(q, k, v, causal=True) ** 2)
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=1e-4, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_sharded_quantized(rng):
+    from umfa_tpu.engine.config import QuantizationConfig
+
+    mesh = make_mesh(dp=1, sp=1, tp=8)
+    q, k, v = make_qkv(rng, 1, 8, 128, 128, 64)
+    attn = sharded_attention(
+        mesh, quantization=QuantizationConfig(), interpret=True
+    )
+    out = attn(q, k, v)
+    want = reference_attention(q, k, v)
+    err = np.linalg.norm(np.asarray(out) - want) / np.linalg.norm(want)
+    assert err < 0.02
+
+
+def test_explicit_device_placement(rng):
+    # Inputs pre-placed with NamedSharding still work.
+    mesh = make_mesh(dp=2, sp=1, tp=4)
+    q, k, v = make_qkv(rng, 2, 8, 128, 128, 64)
+    sh = NamedSharding(mesh, P("dp", "tp", None, None))
+    q, k, v = jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh)
+    attn = sharded_attention(mesh, interpret=True)
+    out = attn(q, k, v)
+    want = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), want, **TOL["fp32"])

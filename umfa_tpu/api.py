@@ -1,0 +1,192 @@
+"""Public SDPA-compatible API + dispatch routing.
+
+The TPU analogue of the reference's two public surfaces:
+  * `umfa.attention(q, k, v, ...)` (examples/python-ffi/src/umfa/core.py:420)
+  * the torch `scaled_dot_product_attention` override + dispatch router
+    (metal_sdpa_backend.cpp:1643-1904): GQA handling, all-True-mask elision,
+    route selection (quantized autograd / fp32 autograd / direct), global
+    quantization mode, dispatch-stats counters.
+
+Routing here is pure-Python route selection in front of jit-compiled fused
+kernels; unsupported configurations degrade to a naive jnp path (the analogue
+of the reference's PyTorch-native fallback, metal_sdpa_backend.cpp:1720-1764).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from umfa_tpu.engine import config as cfg
+from umfa_tpu.engine.config import Precision, QuantMode, QuantizationConfig
+from umfa_tpu.engine.stats import record_dispatch
+from umfa_tpu.ops import masks as masks_lib
+from umfa_tpu.ops.attention import flash_attention, reference_attention
+from umfa_tpu.ops.flash_fwd import BlockSizes
+
+_state = threading.local()
+_global_quant_config: Optional[QuantizationConfig] = None
+_quant_lock = threading.Lock()
+
+
+def set_quantization_mode(
+    precision: str | Precision = "int8",
+    mode: str | QuantMode = "row",
+    config: Optional[QuantizationConfig] = None,
+) -> None:
+    """Process-global quantization mode steering the dispatcher (reference:
+    set_quantization_mode atomics, metal_sdpa_backend.cpp:3382,
+    python_bindings.cpp:98)."""
+    global _global_quant_config
+    with _quant_lock:
+        if config is not None:
+            _global_quant_config = config
+        else:
+            if isinstance(precision, Precision):
+                precision = precision.value
+            if isinstance(mode, QuantMode):
+                mode = mode.value
+            _global_quant_config = QuantizationConfig.from_mode_string(precision, mode)
+
+
+def get_quantization_mode() -> Optional[QuantizationConfig]:
+    local = getattr(_state, "quant_config", None)
+    if local is not None:
+        return local
+    return _global_quant_config
+
+
+def clear_quantization_mode() -> None:
+    global _global_quant_config
+    with _quant_lock:
+        _global_quant_config = None
+
+
+@contextlib.contextmanager
+def use_quantization(
+    precision: str | Precision = "int8",
+    mode: str | QuantMode = "row",
+    config: Optional[QuantizationConfig] = None,
+):
+    """Scoped quantization mode (reference: `use_metal_sdpa()` context
+    manager, backend.py:276-314)."""
+    if config is None:
+        if isinstance(precision, Precision):
+            precision = precision.value
+        if isinstance(mode, QuantMode):
+            mode = mode.value
+        config = QuantizationConfig.from_mode_string(precision, mode)
+    prev = getattr(_state, "quant_config", None)
+    _state.quant_config = config
+    try:
+        yield
+    finally:
+        _state.quant_config = prev
+
+
+def _ensure_4d(x):
+    """2-D/3-D → 4-D BHSD promotion (reference: metal_sdpa_backend.cpp:
+    1667-1683)."""
+    added = 0
+    while x.ndim < 4:
+        x = x[None]
+        added += 1
+    return x, added
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    *,
+    is_causal: bool = False,
+    scale: Optional[float] = None,
+    window: Optional[tuple] = None,
+    quantization: Optional[QuantizationConfig] = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    out_dtype=None,
+    interpret: bool = False,
+    return_lse: bool = False,
+):
+    """Drop-in SDPA-shaped fused attention.
+
+    Shapes: (B, H, S, D), or 3-D/2-D promoted like the reference. GQA when
+    q heads > kv heads (zero-copy, via kernel index maps). `mask` may be a
+    bool mask (True = attend) or additive float bias, any broadcastable ≤4-D
+    shape. `window` = (left, right), -1 = unbounded.
+    """
+    q4, added = _ensure_4d(q)
+    k4, _ = _ensure_4d(k)
+    v4, _ = _ensure_4d(v)
+    batch, num_heads, seq_q, head_dim = q4.shape
+    seq_k = k4.shape[2]
+
+    interpret = interpret or cfg.FORCE_INTERPRET
+
+    # All-True bool mask elision (reference: metal_sdpa_backend.cpp:1767-1784).
+    if mask is not None and masks_lib.is_all_true(mask):
+        record_dispatch("mask_all_true_skipped")
+        mask = None
+
+    bias = masks_lib.canonicalize_mask(mask, batch, num_heads, seq_q, seq_k)
+
+    quant = quantization if quantization is not None else get_quantization_mode()
+
+    route_args = dict(
+        bias=bias,
+        causal=is_causal,
+        window=window,
+        scale=scale,
+        block_sizes=block_sizes,
+        out_dtype=out_dtype,
+        interpret=interpret,
+    )
+
+    if cfg.DISABLE_FUSED:
+        record_dispatch("naive_fallback")
+        out = reference_attention(
+            q4, k4, v4, bias, causal=is_causal, window=window, scale=scale
+        )
+    elif quant is not None and quant.q_precision.is_integer:
+        from umfa_tpu.ops.quant_attention import quantized_flash_attention
+
+        record_dispatch("quantized_autograd")
+        out = quantized_flash_attention(q4, k4, v4, config=quant, **route_args)
+    elif return_lse:
+        record_dispatch("fused_fwd")
+        out, lse = flash_attention(q4, k4, v4, return_lse=True, **route_args)
+        for _ in range(added):
+            out = out[0]
+            lse = lse[0]
+        if cfg.NAN_CHECK:
+            _nan_check(out)
+        return out, lse
+    else:
+        record_dispatch("fused_autograd")
+        out = flash_attention(q4, k4, v4, **route_args)
+
+    for _ in range(added):
+        out = out[0]
+    if cfg.NAN_CHECK:
+        _nan_check(out)
+    return out
+
+
+def attention_with_lse(q, k, v, mask=None, **kwargs):
+    """Forward returning (out, lse) — reference:
+    mfa_attention_forward_with_lse (MFABridge.swift:3071)."""
+    return attention(q, k, v, mask, return_lse=True, **kwargs)
+
+
+def _nan_check(out):
+    """UMFA_NAN_CHECK=1 post-hoc NaN scan (reference: MFA_NAN_CHECK,
+    metal_sdpa_backend.cpp:1864-1880). Concrete arrays only."""
+    if isinstance(out, jax.core.Tracer):
+        return
+    if bool(jnp.any(jnp.isnan(out))):
+        raise FloatingPointError("umfa_tpu: NaN detected in attention output")

@@ -1,0 +1,109 @@
+"""Configuration objects and env-flag system.
+
+Parity with the reference's three config mechanisms (SURVEY.md §5.6):
+  1. env vars (reference: MFA_DEBUG, MFA_NAN_CHECK, MFA_DISABLE_INSTREAM, …)
+     → UMFA_* env vars read here;
+  2. structured config objects (reference: QuantizationConfig/BlockSizeConfig,
+     metal_sdpa_backend.h:63-253) → the dataclasses below;
+  3. process-global quantization mode (reference: set_quantization_mode
+     atomics, metal_sdpa_backend.h:654-662) → umfa_tpu.api module state,
+     backed by the native runtime when built (umfa_tpu.native).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+from typing import Optional
+
+
+class Precision(enum.Enum):
+    """Operand precision (reference: mfa_ffi.h:33-39 — FP16=0 BF16=1 FP32=2
+    INT8=3 INT4=4)."""
+
+    FP16 = "fp16"
+    BF16 = "bf16"
+    FP32 = "fp32"
+    INT8 = "int8"
+    INT4 = "int4"
+
+    @property
+    def is_integer(self) -> bool:
+        return self in (Precision.INT8, Precision.INT4)
+
+    @property
+    def bits(self) -> int:
+        return {"fp16": 16, "bf16": 16, "fp32": 32, "int8": 8, "int4": 4}[self.value]
+
+
+class QuantMode(enum.Enum):
+    """Scale granularity (reference: tensor/row/block/hybrid,
+    metal_sdpa_backend.h:15-20; QuantizationMode .tensorWise/.blockwise,
+    MFABridge.swift:758-760)."""
+
+    TENSOR = "tensor"
+    ROW = "row"
+    BLOCK = "block"
+    HYBRID = "hybrid"  # auto-select per tensor statistics
+
+
+class QuantStrategy(enum.Enum):
+    """Zero-point strategy (reference: .legacy/.asymmetric/.symmetric,
+    MFABridge.swift:1791-1810)."""
+
+    SYMMETRIC = "symmetric"
+    ASYMMETRIC = "asymmetric"
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizeConfig:
+    """Quantization block sizes (reference defaults Q=128/K=64/V=64,
+    metal_sdpa_backend.h:63-253). Blocks are along the sequence dimension
+    (SageAttention-style per-tile scales, matching the kernel's KV tiles)."""
+
+    q: int = 128
+    k: int = 64
+    v: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizationConfig:
+    """Per-operand quantization configuration (reference:
+    QuantizedAttention.Configuration, MFABridge+Quantized.swift:273-356)."""
+
+    q_precision: Precision = Precision.INT8
+    k_precision: Precision = Precision.INT8
+    v_precision: Precision = Precision.INT8
+    mode: QuantMode = QuantMode.ROW
+    strategy: QuantStrategy = QuantStrategy.SYMMETRIC
+    block_sizes: BlockSizeConfig = BlockSizeConfig()
+    hadamard: bool = False  # FWHT pre-rotation for outlier smoothing
+    # SageAttention2-style mean smoothing with exact compensation (PAPERS.md):
+    # K channel-mean (softmax-invariant), Q mean (correction row added to
+    # scores), V channel-mean (added back after normalization).
+    smooth: bool = True
+    output_precision: Precision = Precision.BF16
+
+    @staticmethod
+    def from_mode_string(precision: str, mode: str = "row") -> "QuantizationConfig":
+        p = Precision(precision.lower())
+        return QuantizationConfig(
+            q_precision=p, k_precision=p, v_precision=p, mode=QuantMode(mode.lower())
+        )
+
+
+def env_flag(name: str, default: bool = False) -> bool:
+    """UMFA_* env flags (reference's MFA_* pattern, SURVEY.md §5.6)."""
+    val = os.environ.get(name)
+    if val is None:
+        return default
+    return val.strip().lower() not in ("", "0", "false", "no")
+
+
+# Debug/ordering flags mirroring the reference's race-debug env switches
+# (mps_utils.mm:192-243, metal_sdpa_backend.cpp:1864-1880).
+DEBUG = env_flag("UMFA_DEBUG")
+NAN_CHECK = env_flag("UMFA_NAN_CHECK")
+FORCE_INTERPRET = env_flag("UMFA_INTERPRET")
+DISABLE_FUSED = env_flag("UMFA_DISABLE_FUSED")  # route to naive jnp path

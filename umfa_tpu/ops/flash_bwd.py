@@ -1,0 +1,399 @@
+"""Flash-attention backward kernels (Pallas / TPU).
+
+Same two-phase FA2 decomposition as the reference (SURVEY.md §3.3:
+MultiHeadAttention.backward computes D = rowsum(dO ∘ O), then a dQ pass and a
+dK/dV pass; MFABridge.swift:3164-3259): probabilities are recomputed from the
+saved LSE rather than stored (LSE-based recompute), and all gradients are FP32
+(reference invariant, metal_sdpa_backend.cpp:2800-2804).
+
+  dQ kernel:   grid (B, H, nq, nk) — KV innermost, dQ accumulates in VMEM.
+  dK/dV kernel: grid (B, H, nk, nq) — Q innermost, dK/dV accumulate in VMEM.
+
+D is precomputed with plain jnp (XLA fuses the rowsum into neighbours).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from umfa_tpu.ops.flash_fwd import (
+    DEFAULT_MASK_VALUE,
+    BlockSizes,
+    _block_visible,
+    _intra_block_mask,
+    _pad_seq,
+    _LANES,
+)
+
+
+def _mxu(dtype):
+    """FP32 inputs force HIGHEST MXU precision (see flash_fwd)."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _recompute_p(q, k, lse, bias_blk, *, scale, masked_args):
+    """Recompute P = exp(S*scale + bias - lse) for one (q-block, kv-block)."""
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_mxu(q.dtype),
+    )
+    s = s * scale
+    if bias_blk is not None:
+        s = s + bias_blk.astype(jnp.float32)
+    if masked_args is not None:
+        partial, mask = masked_args
+        keep = jnp.logical_or(jnp.logical_not(partial), mask)
+        s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
+    p = jnp.exp(s - lse)  # lse: (block_q, 1)
+    if masked_args is not None:
+        p = jnp.where(keep, p, 0.0)
+    return p
+
+
+def _dq_kernel(
+    *refs,
+    scale,
+    causal,
+    window,
+    block_q,
+    block_k,
+    seq_q,
+    seq_k,
+    num_k_blocks,
+    has_bias,
+):
+    if has_bias:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+         dq_ref, dq_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dq_scr) = refs
+        bias_ref = None
+
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    q_start = qi * block_q
+    k_start = ki * block_k
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    visible, partial = _block_visible(
+        q_start, k_start,
+        block_q=block_q, block_k=block_k,
+        causal=causal, window=window, seq_q=seq_q, seq_k=seq_k,
+    )
+
+    @pl.when(visible)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, 0:1]  # (block_q, 1)
+        delta = delta_ref[0, 0][:, 0:1]  # (block_q, 1)
+
+        masked = causal or window is not None or bool(seq_k % block_k)
+        masked_args = None
+        if masked:
+            mask = _intra_block_mask(
+                q_start, k_start,
+                block_q=block_q, block_k=block_k,
+                causal=causal, window=window, seq_k=seq_k,
+            )
+            masked_args = (partial, mask)
+        bias_blk = bias_ref[0, 0] if bias_ref is not None else None
+        p = _recompute_p(q, k, lse, bias_blk, scale=scale, masked_args=masked_args)
+
+        # dP = dO @ V^T
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mxu(v.dtype),
+        )
+        ds = p * (dp - delta)  # (block_q, block_k) FP32
+        dq_scr[...] += scale * jax.lax.dot_general(
+            ds.astype(k.dtype), k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mxu(k.dtype),
+        )
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[...]
+
+
+def _dkv_kernel(
+    *refs,
+    scale,
+    causal,
+    window,
+    block_q,
+    block_k,
+    seq_q,
+    seq_k,
+    num_q_blocks,
+    has_bias,
+):
+    if has_bias:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        bias_ref = None
+
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+    q_start = qi * block_q
+    k_start = ki * block_k
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    visible, partial = _block_visible(
+        q_start, k_start,
+        block_q=block_q, block_k=block_k,
+        causal=causal, window=window, seq_q=seq_q, seq_k=seq_k,
+    )
+
+    @pl.when(visible)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, 0:1]
+        delta = delta_ref[0, 0][:, 0:1]
+
+        masked = causal or window is not None or bool(seq_k % block_k)
+        masked_args = None
+        if masked:
+            mask = _intra_block_mask(
+                q_start, k_start,
+                block_q=block_q, block_k=block_k,
+                causal=causal, window=window, seq_k=seq_k,
+            )
+            masked_args = (partial, mask)
+        bias_blk = bias_ref[0, 0] if bias_ref is not None else None
+        p = _recompute_p(q, k, lse, bias_blk, scale=scale, masked_args=masked_args)
+
+        # dV += P^T @ dO
+        dv_scr[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mxu(do.dtype),
+        )
+        # dS = P ∘ (dO @ V^T - delta)
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mxu(v.dtype),
+        )
+        ds = p * (dp - delta)
+        # dK += scale * dS^T @ Q
+        dk_scr[...] += scale * jax.lax.dot_general(
+            ds.astype(q.dtype), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mxu(q.dtype),
+        )
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[...]
+        dv_ref[0, 0] = dv_scr[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "window", "scale", "block_sizes", "interpret"),
+)
+def flash_attention_backward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    out: jax.Array,
+    lse: jax.Array,
+    do: jax.Array,
+    bias: Optional[jax.Array] = None,
+    dlse: Optional[jax.Array] = None,
+    *,
+    causal: bool = False,
+    window: Optional[tuple] = None,
+    scale: Optional[float] = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    interpret: bool = False,
+):
+    """FA2 backward. Returns (dq, dk, dv) in FP32.
+
+    GQA (Hq > Hkv): dK/dV per-KV-head gradients are the sum over the query
+    group — handled by summing the expanded-head gradients host-side here
+    (group dims folded with a reshape, no copies of K/V are made).
+    """
+    batch, num_heads, seq_q, head_dim = q.shape
+    _, num_kv_heads, seq_k, _ = k.shape
+    group = num_heads // num_kv_heads
+    if scale is None:
+        scale = head_dim**-0.5
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    block_q = min(block_sizes.block_q_dq, max(seq_q, 8))
+    block_k = min(block_sizes.block_k_dq, max(seq_k, 8))
+
+    # D = rowsum(dO ∘ O) — FP32 per-row statistic (reference's D scratch,
+    # MFABridge.swift:3241-3243). A cotangent on LSE folds in exactly here:
+    # dL/ds_ij gains g_lse_i · p_ij, i.e. ds = p∘(dp − (D − g_lse)).
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
+
+    q_pad = _pad_seq(q, block_q, 2)
+    k_pad = _pad_seq(k, block_k, 2)
+    v_pad = _pad_seq(v, block_k, 2)
+    do_pad = _pad_seq(do, block_q, 2)
+    padded_sq = q_pad.shape[2]
+    padded_sk = k_pad.shape[2]
+    num_q_blocks = padded_sq // block_q
+    num_k_blocks = padded_sk // block_k
+
+    # Row statistics broadcast across lanes: (B, H, S) -> (B, H, S, LANES).
+    # Padded q rows get lse = mask value so exp(s - lse) stays tiny.
+    lse_pad = _pad_seq(lse, block_q, 2)
+    if padded_sq != seq_q:
+        pad_rows = jnp.arange(padded_sq) >= seq_q
+        lse_pad = jnp.where(pad_rows[None, None, :], -DEFAULT_MASK_VALUE, lse_pad)
+    delta_pad = _pad_seq(delta, block_q, 2)
+    lse_b = jnp.broadcast_to(lse_pad[..., None], (*lse_pad.shape, _LANES))
+    delta_b = jnp.broadcast_to(delta_pad[..., None], (*delta_pad.shape, _LANES))
+
+    has_bias = bias is not None
+    bias_meta = None
+    if has_bias:
+        if bias.ndim == 2:
+            bias = bias[None, None]
+        elif bias.ndim == 3:
+            bias = bias[:, None]
+        bias = _pad_seq(_pad_seq(bias, block_k, 3), block_q, 2)
+        bias_meta = (bias.shape[0], bias.shape[1], bias.shape[2] == 1)
+
+    def specs(order):
+        """order: 'qk' for dQ kernel (qi, ki), 'kq' for dK/dV kernel."""
+        if order == "qk":
+            def qix(b, h, i, j):
+                return i
+            def kix(b, h, i, j):
+                return j
+        else:
+            def qix(b, h, i, j):
+                return j
+            def kix(b, h, i, j):
+                return i
+        q_spec = pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, qix(b, h, i, j), 0)
+        )
+        kv_spec = pl.BlockSpec(
+            (1, 1, block_k, head_dim),
+            lambda b, h, i, j: (b, h // group, kix(b, h, i, j), 0),
+        )
+        row_spec = pl.BlockSpec(
+            (1, 1, block_q, _LANES), lambda b, h, i, j: (b, h, qix(b, h, i, j), 0)
+        )
+        ins = [q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec]
+        if has_bias:
+            bb, bh, bq_bcast = bias_meta
+            ins.append(
+                pl.BlockSpec(
+                    (1, 1, 1 if bq_bcast else block_q, block_k),
+                    lambda b, h, i, j: (
+                        b if bb > 1 else 0,
+                        h if bh > 1 else 0,
+                        0 if bq_bcast else qix(b, h, i, j),
+                        kix(b, h, i, j),
+                    ),
+                )
+            )
+        return ins
+
+    common_args = [q_pad, k_pad, v_pad, do_pad, lse_b, delta_b]
+    if has_bias:
+        common_args.append(bias)
+
+    # ---- dQ pass ----
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel,
+            scale=scale, causal=causal, window=window,
+            block_q=block_q, block_k=block_k,
+            seq_q=seq_q, seq_k=seq_k,
+            num_k_blocks=num_k_blocks, has_bias=has_bias,
+        ),
+        grid=(batch, num_heads, num_q_blocks, num_k_blocks),
+        in_specs=specs("qk"),
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, num_heads, padded_sq, head_dim), jnp.float32
+        ),
+        scratch_shapes=[pltpu.VMEM((block_q, head_dim), jnp.float32)],
+        interpret=interpret,
+    )(*common_args)
+
+    # ---- dK/dV pass (per expanded head; GQA reduced below) ----
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel,
+            scale=scale, causal=causal, window=window,
+            block_q=block_q, block_k=block_k,
+            seq_q=seq_q, seq_k=seq_k,
+            num_q_blocks=num_q_blocks, has_bias=has_bias,
+        ),
+        grid=(batch, num_heads, num_k_blocks, num_q_blocks),
+        in_specs=specs("kq"),
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_k, head_dim), lambda b, h, i, j: (b, h, i, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, head_dim), lambda b, h, i, j: (b, h, i, 0)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, num_heads, padded_sk, head_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch, num_heads, padded_sk, head_dim), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, head_dim), jnp.float32),
+            pltpu.VMEM((block_k, head_dim), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*common_args)
+
+    dq = dq[:, :, :seq_q]
+    dk = dk[:, :, :seq_k]
+    dv = dv[:, :, :seq_k]
+    if group > 1:
+        dk = dk.reshape(batch, num_kv_heads, group, seq_k, head_dim).sum(axis=2)
+        dv = dv.reshape(batch, num_kv_heads, group, seq_k, head_dim).sum(axis=2)
+    return dq, dk, dv

@@ -1,0 +1,383 @@
+"""Fused flash-attention forward kernel (Pallas / TPU).
+
+TPU-native re-design of the reference's AttentionKernel forward path
+(reference: Sources/MFABridge/MFABridge.swift:1228-1420 and the
+metal-flash-attention submodule's generated `attention` kernel — see
+SURVEY.md §2.3). Instead of runtime-generated MSL with per-call pipeline
+caches, this is a single Pallas kernel parameterized by static config and
+cached by jit.
+
+Design:
+  * grid = (batch, heads, num_q_blocks, num_kv_blocks); the KV dimension is
+    innermost so FP32 accumulators (m, l, acc) persist in VMEM scratch across
+    KV steps — the online-softmax recurrence of FlashAttention-2.
+  * All softmax statistics and the output accumulator are FP32 regardless of
+    input dtype (reference invariant: "FP32 intermediates mandatory",
+    README.md:83-85).
+  * Causal / sliding-window structure is evaluated per block: fully-masked
+    blocks skip all compute via `pl.when` (analogue of the reference's
+    block-level early exit), diagonal/edge blocks apply an intra-block mask.
+  * Arbitrary additive bias is streamed per block with broadcast-aware index
+    maps (B/H broadcast dims never materialized — unlike the reference's
+    dense [B,H,Sq,Skv] mask expansion, MFABridge.swift:153-243, which would
+    be fatal in HBM at long seq).
+  * GQA is expressed in the K/V index maps (head h reads KV head
+    h // group_size) — zero-copy, no repeat_interleave (the reference expands
+    heads by copy: metal_sdpa_backend.cpp:1694-1702).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Large-but-finite mask value. -inf breaks the online-softmax recurrence
+# ((-inf) - (-inf) = NaN), so fully-masked statistics stay finite.
+DEFAULT_MASK_VALUE = -1e30
+_LANES = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizes:
+    """Static tile sizes. Defaults mirror the reference's BlockSizeConfig
+    (metal_sdpa_backend.h:63-253: Q=128, K=64/128) but aligned to the MXU."""
+
+    block_q: int = 128
+    block_k: int = 128
+    block_q_dq: int = 128
+    block_k_dq: int = 128
+    block_q_dkv: int = 128
+    block_k_dkv: int = 128
+
+
+def _block_visible(
+    q_start, k_start, *, block_q, block_k, causal, window, seq_q, seq_k
+):
+    """Whether block (q_start, k_start) has ANY visible entry, and whether it
+    is only partially visible (needs an intra-block mask).
+
+    Returns (visible: traced bool, partial: traced bool).
+    `window` is (left, right) with -1 meaning unbounded on that side.
+    """
+    q_last = q_start + block_q - 1
+    k_last = k_start + block_k - 1
+
+    visible = jnp.bool_(True)
+    partial = jnp.bool_(False)
+
+    if causal:
+        # visible iff some (q, k) with k <= q:  k_start <= q_last
+        visible = jnp.logical_and(visible, k_start <= q_last)
+        # fully visible iff k_last <= q_start
+        partial = jnp.logical_or(partial, k_last > q_start)
+    if window is not None:
+        left, right = window
+        if left >= 0:
+            # visible iff some k >= q - left: k_last >= q_start - left
+            visible = jnp.logical_and(visible, k_last >= q_start - left)
+            partial = jnp.logical_or(partial, k_start < q_last - left)
+        if right >= 0:
+            visible = jnp.logical_and(visible, k_start <= q_last + right)
+            partial = jnp.logical_or(partial, k_last > q_start + right)
+    if seq_k % block_k != 0:
+        # KV tail block padding must be masked out.
+        tail = (seq_k // block_k) * block_k
+        partial = jnp.logical_or(partial, k_start >= tail)
+    return visible, partial
+
+
+def _intra_block_mask(
+    q_start, k_start, *, block_q, block_k, causal, window, seq_k
+):
+    """FP32-free boolean visibility mask of shape (block_q, block_k)."""
+    q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+    mask = k_ids < seq_k  # KV tail padding
+    if causal:
+        mask = jnp.logical_and(mask, k_ids <= q_ids)
+    if window is not None:
+        left, right = window
+        if left >= 0:
+            mask = jnp.logical_and(mask, k_ids >= q_ids - left)
+        if right >= 0:
+            mask = jnp.logical_and(mask, k_ids <= q_ids + right)
+    return mask
+
+
+def _fwd_kernel(
+    # refs (bias_ref only present when has_bias)
+    *refs,
+    scale: float,
+    causal: bool,
+    window,
+    block_q: int,
+    block_k: int,
+    seq_q: int,
+    seq_k: int,
+    num_k_blocks: int,
+    has_bias: bool,
+    out_dtype,
+):
+    if has_bias:
+        q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        bias_ref = None
+
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    q_start = qi * block_q
+    k_start = ki * block_k
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    visible, partial = _block_visible(
+        q_start,
+        k_start,
+        block_q=block_q,
+        block_k=block_k,
+        causal=causal,
+        window=window,
+        seq_q=seq_q,
+        seq_k=seq_k,
+    )
+
+    @pl.when(visible)
+    def _compute():
+        q = q_ref[0, 0]  # (block_q, d)
+        k = k_ref[0, 0]  # (block_k, d)
+        v = v_ref[0, 0]  # (block_k, d)
+
+        # QK^T on the MXU, FP32 accumulation. FP32 inputs force HIGHEST
+        # precision (6-pass bf16 emulation) to hold the reference's 1e-5
+        # FP32 tolerance; bf16 inputs use the native single-pass path.
+        mxu = (
+            jax.lax.Precision.HIGHEST
+            if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu,
+        )
+        s = s * scale
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
+
+        masked = causal or window is not None or bool(seq_k % block_k)
+        if masked:
+            mask = _intra_block_mask(
+                q_start,
+                k_start,
+                block_q=block_q,
+                block_k=block_k,
+                causal=causal,
+                window=window,
+                seq_k=seq_k,
+            )
+            keep = jnp.logical_or(jnp.logical_not(partial), mask)
+            s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[:, 0:1]  # (block_q, 1)
+        l_prev = l_scr[:, 0:1]
+
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (block_q, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # (block_q, block_k) FP32
+        if masked:
+            # Rows fully masked in this block would otherwise get p = exp(0).
+            p = jnp.where(keep, p, 0.0)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        m = m_scr[:, 0:1]
+        l = l_scr[:, 0:1]
+        # Fully-masked rows have l == 0; emit 0 output and -inf-free LSE.
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(out_dtype)
+        lse = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, m + jnp.log(l_safe))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, _LANES))
+
+
+def _pad_seq(x, block, axis):
+    seq = x.shape[axis]
+    rem = seq % block
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, block - rem)
+    return jnp.pad(x, pad)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal",
+        "window",
+        "scale",
+        "block_sizes",
+        "out_dtype",
+        "interpret",
+        "debug",
+    ),
+)
+def flash_attention_forward(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    causal: bool = False,
+    window: Optional[tuple] = None,
+    scale: Optional[float] = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    out_dtype=None,
+    interpret: bool = False,
+    debug: bool = False,
+):
+    """Fused flash attention forward with LSE.
+
+    Args:
+      q: (B, Hq, Sq, D)
+      k, v: (B, Hkv, Sk, D); Hq must be a multiple of Hkv (GQA).
+      bias: additive bias broadcastable to (B, Hq, Sq, Sk); leading dims may
+        be 1 and are NOT materialized.
+      causal: causal masking flag.
+      window: optional (left, right) sliding window; -1 = unbounded side.
+      scale: softmax scale (default 1/sqrt(D)).
+
+    Returns:
+      (out (B, Hq, Sq, D) in out_dtype (default q.dtype), lse (B, Hq, Sq) FP32)
+    """
+    batch, num_heads, seq_q, head_dim = q.shape
+    _, num_kv_heads, seq_k, _ = k.shape
+    assert num_heads % num_kv_heads == 0, (num_heads, num_kv_heads)
+    group = num_heads // num_kv_heads
+    # Pallas TPU lowering is unavailable on CPU (tests, multi-chip dry runs):
+    # fall back to the interpreter automatically. Static per-process choice.
+    interpret = interpret or jax.default_backend() == "cpu"
+    if scale is None:
+        scale = head_dim**-0.5
+    if out_dtype is None:
+        out_dtype = q.dtype
+
+    block_q = min(block_sizes.block_q, max(seq_q, 8))
+    block_k = min(block_sizes.block_k, max(seq_k, 8))
+
+    q_pad = _pad_seq(q, block_q, 2)
+    k_pad = _pad_seq(k, block_k, 2)
+    v_pad = _pad_seq(v, block_k, 2)
+    padded_sq = q_pad.shape[2]
+    padded_sk = k_pad.shape[2]
+    num_q_blocks = padded_sq // block_q
+    num_k_blocks = padded_sk // block_k
+
+    grid = (batch, num_heads, num_q_blocks, num_k_blocks)
+
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, head_dim), lambda b, h, qi, ki: (b, h, qi, 0)
+    )
+    kv_spec = pl.BlockSpec(
+        (1, 1, block_k, head_dim),
+        lambda b, h, qi, ki, group=group: (b, h // group, ki, 0),
+    )
+    in_specs = [q_spec, kv_spec, kv_spec]
+    args = [q_pad, k_pad, v_pad]
+
+    has_bias = bias is not None
+    if has_bias:
+        if bias.ndim == 2:
+            bias = bias[None, None]
+        elif bias.ndim == 3:
+            bias = bias[:, None]
+        assert bias.ndim == 4
+        bb, bh = bias.shape[0], bias.shape[1]
+        assert bb in (1, batch) and bh in (1, num_heads), bias.shape
+        assert bias.shape[2] in (1, seq_q) and bias.shape[3] == seq_k, bias.shape
+        bias = _pad_seq(_pad_seq(bias, block_k, 3), block_q, 2)
+        bq_bcast = bias.shape[2] == 1
+        bias_spec = pl.BlockSpec(
+            (1, 1, 1 if bq_bcast else block_q, block_k),
+            lambda b, h, qi, ki, bb=bb, bh=bh, bq=bq_bcast: (
+                b if bb > 1 else 0,
+                h if bh > 1 else 0,
+                0 if bq else qi,
+                ki,
+            ),
+        )
+        in_specs.append(bias_spec)
+        args.append(bias)
+
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec((1, 1, block_q, _LANES), lambda b, h, qi, ki: (b, h, qi, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((batch, num_heads, padded_sq, head_dim), out_dtype),
+        jax.ShapeDtypeStruct((batch, num_heads, padded_sq, _LANES), jnp.float32),
+    ]
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        scale=scale,
+        causal=causal,
+        window=window,
+        block_q=block_q,
+        block_k=block_k,
+        seq_q=seq_q,
+        seq_k=seq_k,
+        num_k_blocks=num_k_blocks,
+        has_bias=has_bias,
+        out_dtype=out_dtype,
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # m
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # l
+            pltpu.VMEM((block_q, head_dim), jnp.float32),  # acc
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * num_heads * seq_q * seq_k * head_dim,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+            + q.size * jnp.dtype(out_dtype).itemsize,
+            transcendentals=batch * num_heads * seq_q * seq_k,
+        ),
+        interpret=interpret,
+        debug=debug,
+    )(*args)
+
+    out = out[:, :, :seq_q]
+    lse = lse[:, :, :seq_q, 0]
+    return out, lse

@@ -1,0 +1,563 @@
+"""Quantized fused flash attention (INT8 / INT4) with STE backward.
+
+TPU-native redesign of the reference's quantized path (SURVEY.md §3.4:
+mfa_quantized_forward_with_lse / mfa_quantized_backward,
+MFABridge+Quantized.swift) with two deliberate departures:
+
+  1. The reference dispatches per (batch, head) in a serialized host loop with
+     a wait after each dispatch (its known weakness, SURVEY.md §3.4). Here the
+     whole (B, H, Sq-blocks, KV-blocks) space is one Pallas grid — a single
+     device launch.
+  2. The reference dequantizes INT8/INT4 into FP32 register tiles *before*
+     the multiply (`load_quantized_int8/4`, SURVEY.md §2.3), because Apple
+     GPUs have no integer matmul units. The MXU does have them: QK^T runs as
+     an int8×int8 → int32 systolic pass at 2× BF16 rate, and scales /
+     zero-point corrections are applied *after* the matmul
+     (INT-FlashAttention / SageAttention2 style, SURVEY.md §7.3). The
+     reference's `precomputedSums` blockwise compensation maps to the
+     row-sum correction terms below.
+
+P·V: V is dequantized on load (cast + fold the per-row V scale into P, which
+is a lane-broadcast multiply), PV runs in BF16 with FP32 accumulation —
+matching the reference's FP16-memory/FP32-accumulate invariant.
+
+Backward = straight-through estimator: gradients are computed by the dense
+FP32 backward kernels on the *deterministically re-dequantized* operands with
+the quantized forward's LSE — fake-quant forward, full-precision grads
+(reference: AGENTS.md:108-111, MFABridge+Quantized.swift:425-440). Residuals
+are stored quantized (int8 + scales), which is where the reference's 25-40%
+training memory saving comes from (README.md:100).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from umfa_tpu.engine.config import (
+    Precision,
+    QuantMode,
+    QuantStrategy,
+    QuantizationConfig,
+)
+from umfa_tpu.ops.flash_fwd import (
+    DEFAULT_MASK_VALUE,
+    _LANES,
+    BlockSizes,
+    _block_visible,
+    _intra_block_mask,
+    _pad_seq,
+)
+from umfa_tpu.ops.flash_bwd import flash_attention_backward
+from umfa_tpu.ops.quant import QuantizedTensor, dequantize, quantize
+
+
+def _unpack_int4_lanes(packed):
+    """In-kernel INT4 unpack (split-halves layout, see quant.pack_int4).
+
+    Mosaic cannot legalize sub-32-bit vector shifts (arith.shli on i8), so
+    the nibble extraction runs in int32: low nibble via mask + sign-fix
+    ((m ^ 8) - 8), high nibble via arithmetic right shift of the
+    sign-extended byte (flooring division matches two's complement)."""
+    p = packed.astype(jnp.int32)
+    low = ((p & 0xF) ^ 8) - 8
+    high = jnp.right_shift(p, 4)
+    return jnp.concatenate([low, high], axis=-1).astype(jnp.int8)
+
+
+def _quant_fwd_kernel(
+    *refs,
+    scale: float,
+    causal: bool,
+    window,
+    block_q: int,
+    block_k: int,
+    seq_q: int,
+    seq_k: int,
+    num_k_blocks: int,
+    head_dim: int,
+    q_int4: bool,
+    k_int4: bool,
+    v_int4: bool,
+    asym: bool,
+    has_corr: bool,
+    has_bias: bool,
+    out_dtype,
+):
+    idx = 0
+
+    def nxt():
+        nonlocal idx
+        r = refs[idx]
+        idx += 1
+        return r
+
+    q_ref, k_ref, v_ref = nxt(), nxt(), nxt()
+    qs_ref, ks_ref, vs_ref = nxt(), nxt(), nxt()
+    if asym:
+        qzp_ref, qrs_ref, kzp_ref, krs_ref, vzp_ref = (
+            nxt(), nxt(), nxt(), nxt(), nxt(),
+        )
+    corr_ref = nxt() if has_corr else None
+    bias_ref = nxt() if has_bias else None
+    o_ref, lse_ref = nxt(), nxt()
+    m_scr, l_scr, acc_scr = nxt(), nxt(), nxt()
+
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    q_start = qi * block_q
+    k_start = ki * block_k
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    visible, partial = _block_visible(
+        q_start, k_start,
+        block_q=block_q, block_k=block_k,
+        causal=causal, window=window, seq_q=seq_q, seq_k=seq_k,
+    )
+
+    @pl.when(visible)
+    def _compute():
+        qv = q_ref[0, 0]
+        kv = k_ref[0, 0]
+        if q_int4:
+            qv = _unpack_int4_lanes(qv)
+        if k_int4:
+            kv = _unpack_int4_lanes(kv)
+
+        # INT8 × INT8 → INT32 on the MXU.
+        s_i32 = jax.lax.dot_general(
+            qv, kv,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        s = s_i32.astype(jnp.float32)
+
+        sq = qs_ref[0, 0]          # (block_q, 1) or (1, 1)
+        sk_row = ks_ref[0, 0]      # (1, block_k) or (1, 1)
+        if asym:
+            qzp = qzp_ref[0, 0].astype(jnp.float32)   # (block_q, 1)|(1,1)
+            qrs = qrs_ref[0, 0].astype(jnp.float32)
+            kzp = kzp_ref[0, 0].astype(jnp.float32)   # (1, block_k)|(1,1)
+            krs = krs_ref[0, 0].astype(jnp.float32)
+            # Σ(qq - zq)(qk - zk) = dot - zq·rowsum(k) - zk·rowsum(q) + D·zq·zk
+            s = s - qzp * krs - kzp * qrs + head_dim * qzp * kzp
+        s = s * (sq * sk_row)
+        if corr_ref is not None:
+            # Q-mean smoothing compensation: + qm·K'^T (SageAttention2-style,
+            # exact — see _quantize_operands).
+            s = s + corr_ref[0, 0]
+        s = s * scale
+
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
+
+        masked = causal or window is not None or bool(seq_k % block_k)
+        if masked:
+            mask = _intra_block_mask(
+                q_start, k_start,
+                block_q=block_q, block_k=block_k,
+                causal=causal, window=window, seq_k=seq_k,
+            )
+            keep = jnp.logical_or(jnp.logical_not(partial), mask)
+            s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[:, 0:1]
+        l_prev = l_scr[:, 0:1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        if masked:
+            p = jnp.where(keep, p, 0.0)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+        # P·V with the per-row V scale folded into P (lane broadcast).
+        vv = v_ref[0, 0]
+        if v_int4:
+            vv = _unpack_int4_lanes(vv)
+        sv_row = vs_ref[0, 0]  # (1, block_k) or (1, 1)
+        p_scaled = p * sv_row
+        pv = jax.lax.dot_general(
+            p_scaled.astype(jnp.bfloat16),
+            vv.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if asym:
+            vzp = vzp_ref[0, 0].astype(jnp.float32)  # (1, block_k)|(1,1)
+            corr = jnp.sum(p_scaled * vzp, axis=-1, keepdims=True)
+            pv = pv - corr
+        acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        m = m_scr[:, 0:1]
+        l = l_scr[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[...] / l_safe).astype(out_dtype)
+        lse = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, m + jnp.log(l_safe))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, _LANES))
+
+
+def _col_stat(x, batch, heads, seq):
+    """Normalize a q-side per-row stat to (B, H, Sm, 1), Sm ∈ {1, seq}."""
+    assert x.shape[0] == batch and x.shape[1] == heads
+    return x
+
+
+def _row_stat(x):
+    """Transpose a kv-side per-row stat (B, H, S, 1) → (B, H, 1, S)."""
+    return jnp.swapaxes(x, -1, -2)
+
+
+def quantized_attention_forward(
+    qt_q: QuantizedTensor,
+    qt_k: QuantizedTensor,
+    qt_v: QuantizedTensor,
+    bias: Optional[jax.Array] = None,
+    score_corr: Optional[jax.Array] = None,
+    *,
+    causal: bool = False,
+    window: Optional[tuple] = None,
+    scale: Optional[float] = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Run the quantized fused kernel on pre-quantized operands.
+
+    Returns (out, lse). Analogue of QuantizedAttention.forward with
+    externalLogsumexp (MFABridge+Quantized.swift:273-356).
+    """
+    batch, num_heads, seq_q, _ = qt_q.orig_shape
+    _, num_kv_heads, seq_k, head_dim = qt_k.orig_shape
+    group = num_heads // num_kv_heads
+    if scale is None:
+        scale = head_dim**-0.5
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    asym = qt_q.strategy == QuantStrategy.ASYMMETRIC
+    for t in (qt_q, qt_k, qt_v):
+        assert (t.strategy == QuantStrategy.ASYMMETRIC) == asym, (
+            "mixed quantization strategies not supported"
+        )
+
+    block_q = min(block_sizes.block_q, max(seq_q, 8))
+    block_k = min(block_sizes.block_k, max(seq_k, 8))
+
+    q_vals = _pad_seq(qt_q.values, block_q, 2)
+    k_vals = _pad_seq(qt_k.values, block_k, 2)
+    v_vals = _pad_seq(qt_v.values, block_k, 2)
+    padded_sq = q_vals.shape[2]
+    padded_sk = k_vals.shape[2]
+    num_q_blocks = padded_sq // block_q
+    num_k_blocks = padded_sk // block_k
+
+    def pad_stat(x, block, axis):
+        return _pad_seq(x, block, axis) if x.shape[axis] > 1 else x
+
+    q_scales = pad_stat(qt_q.scales, block_q, 2)            # (B,H,Sq|1,1)
+    k_scales = pad_stat(_row_stat(qt_k.scales), block_k, 3)  # (B,H,1,Sk|1)
+    v_scales = pad_stat(_row_stat(qt_v.scales), block_k, 3)
+
+    grid = (batch, num_heads, num_q_blocks, num_k_blocks)
+
+    dq_pack = 2 if qt_q.precision == Precision.INT4 else 1
+    dk_pack = 2 if qt_k.precision == Precision.INT4 else 1
+    dv_pack = 2 if qt_v.precision == Precision.INT4 else 1
+
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, head_dim // dq_pack), lambda b, h, i, j: (b, h, i, 0)
+    )
+    k_spec = pl.BlockSpec(
+        (1, 1, block_k, head_dim // dk_pack),
+        lambda b, h, i, j: (b, h // group, j, 0),
+    )
+    v_spec = pl.BlockSpec(
+        (1, 1, block_k, head_dim // dv_pack),
+        lambda b, h, i, j: (b, h // group, j, 0),
+    )
+
+    def col_spec(stat):
+        per_row = stat.shape[2] > 1
+        return pl.BlockSpec(
+            (1, 1, block_q if per_row else 1, 1),
+            lambda b, h, i, j, pr=per_row: (b, h, i if pr else 0, 0),
+        )
+
+    def row_spec(stat):
+        per_row = stat.shape[3] > 1
+        return pl.BlockSpec(
+            (1, 1, 1, block_k if per_row else 1),
+            lambda b, h, i, j, pr=per_row: (b, h // group, 0, j if pr else 0),
+        )
+
+    in_specs = [q_spec, k_spec, v_spec,
+                col_spec(q_scales), row_spec(k_scales), row_spec(v_scales)]
+    args = [q_vals, k_vals, v_vals, q_scales, k_scales, v_scales]
+
+    if asym:
+        q_zp = pad_stat(qt_q.zero_points, block_q, 2)
+        q_rs = pad_stat(qt_q.row_sums, block_q, 2)
+        k_zp = pad_stat(_row_stat(qt_k.zero_points), block_k, 3)
+        k_rs = pad_stat(_row_stat(qt_k.row_sums), block_k, 3)
+        v_zp = pad_stat(_row_stat(qt_v.zero_points), block_k, 3)
+        in_specs += [col_spec(q_zp), col_spec(q_rs),
+                     row_spec(k_zp), row_spec(k_rs), row_spec(v_zp)]
+        args += [q_zp, q_rs, k_zp, k_rs, v_zp]
+
+    has_corr = score_corr is not None
+    if has_corr:
+        # (B, Hq, 1, Sk) — q-side heads, so index by h (not h // group).
+        corr = _pad_seq(score_corr.astype(jnp.float32), block_k, 3)
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, block_k), lambda b, h, i, j: (b, h, 0, j))
+        )
+        args.append(corr)
+
+    has_bias = bias is not None
+    if has_bias:
+        while bias.ndim < 4:
+            bias = bias[None]
+        bb, bh = bias.shape[0], bias.shape[1]
+        bias = _pad_seq(_pad_seq(bias, block_k, 3), block_q, 2)
+        bq_bcast = bias.shape[2] == 1
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1 if bq_bcast else block_q, block_k),
+                lambda b, h, i, j, bb=bb, bh=bh, bq=bq_bcast: (
+                    b if bb > 1 else 0,
+                    h if bh > 1 else 0,
+                    0 if bq else i,
+                    j,
+                ),
+            )
+        )
+        args.append(bias)
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _quant_fwd_kernel,
+            scale=scale, causal=causal, window=window,
+            block_q=block_q, block_k=block_k,
+            seq_q=seq_q, seq_k=seq_k,
+            num_k_blocks=num_k_blocks, head_dim=head_dim,
+            q_int4=dq_pack == 2, k_int4=dk_pack == 2, v_int4=dv_pack == 2,
+            asym=asym, has_corr=has_corr, has_bias=has_bias,
+            out_dtype=jnp.dtype(out_dtype),
+        ),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q, _LANES), lambda b, h, i, j: (b, h, i, 0)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (batch, num_heads, padded_sq, head_dim), jnp.dtype(out_dtype)
+            ),
+            jax.ShapeDtypeStruct(
+                (batch, num_heads, padded_sq, _LANES), jnp.float32
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * num_heads * seq_q * seq_k * head_dim,
+            bytes_accessed=q_vals.size + k_vals.size + v_vals.size
+            + batch * num_heads * seq_q * head_dim * 4,
+            transcendentals=batch * num_heads * seq_q * seq_k,
+        ),
+        interpret=interpret,
+    )(*args)
+
+    return out[:, :, :seq_q], lse[:, :, :seq_q, 0]
+
+
+@dataclasses.dataclass(frozen=True)
+class _QAttnKey:
+    config: QuantizationConfig
+    causal: bool
+    window: Optional[tuple]
+    scale: Optional[float]
+    block_sizes: BlockSizes
+    out_dtype: Optional[str]
+    interpret: bool
+
+
+def _quantize_operands(q, k, v, config: QuantizationConfig):
+    """Runtime quantization with exact mean-smoothing compensation.
+
+    Smoothing (SageAttention2-style, PAPERS.md; config.smooth):
+      * K channel-mean: k' = k − mean_seq(k). Subtracting a per-(b,h) vector
+        from every K row shifts each score row by a constant (q_i·km over all
+        j) — softmax-invariant, NO compensation needed. The shrunk dynamic
+        range is pure accuracy win.
+      * Q mean: q' = q − mean_seq(q). Score change −qm·k'_j varies over j, so
+        the kernel adds back the correction row corr_j = qm·k'_j (FP32 GEMV).
+      * V channel-mean: v' = v − mean_seq(v). Since softmax rows sum to 1,
+        out = P·v' + vm exactly; vm is added back after the kernel.
+
+    Returns (qt_q, qt_k, qt_v, qm, vm, corr); qm/vm/corr are None when
+    smoothing is off.
+    """
+    from umfa_tpu.ops.hadamard import hadamard_rotate
+
+    if config.hadamard:
+        # FWHT is orthogonal: QK^T is invariant under rotating both Q and K,
+        # so only the quantization error changes (reference: ConvRot,
+        # AGENTS.md:140-149). V is NOT rotated (PV is not an inner product
+        # over D).
+        q = hadamard_rotate(q)
+        k = hadamard_rotate(k)
+
+    qm = vm = corr = None
+    if config.smooth:
+        f32 = jnp.float32
+        qm = jnp.mean(q.astype(f32), axis=2, keepdims=True)  # (B,Hq,1,D)
+        km = jnp.mean(k.astype(f32), axis=2, keepdims=True)  # (B,Hkv,1,D)
+        vm = jnp.mean(v.astype(f32), axis=2, keepdims=True)  # (B,Hkv,1,D)
+        q = (q.astype(f32) - qm).astype(q.dtype)
+        k = (k.astype(f32) - km).astype(k.dtype)
+        v = (v.astype(f32) - vm).astype(v.dtype)
+        # corr_j = qm · k'_j in raw-dot units: (B, Hq, 1, Sk).
+        b, hq, _, d = qm.shape
+        hkv = k.shape[1]
+        group = hq // hkv
+        qm_g = qm.reshape(b, hkv, group, d)
+        corr = jnp.einsum(
+            "bhgd,bhkd->bhgk", qm_g, k.astype(f32),
+            preferred_element_type=f32,
+        ).reshape(b, hq, 1, k.shape[2])
+
+    bs = config.block_sizes
+    qt_q = quantize(q, config.q_precision, config.mode, config.strategy, bs.q)
+    qt_k = quantize(k, config.k_precision, config.mode, config.strategy, bs.k)
+    qt_v = quantize(v, config.v_precision, config.mode, config.strategy, bs.v)
+    return qt_q, qt_k, qt_v, qm, vm, corr
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _qflash(key: _QAttnKey, q, k, v, bias):
+    out, _ = _qflash_fwd(key, q, k, v, bias)
+    return out
+
+
+def _qflash_fwd(key: _QAttnKey, q, k, v, bias):
+    qt_q, qt_k, qt_v, qm, vm, corr = _quantize_operands(q, k, v, key.config)
+    out_dtype = jnp.dtype(key.out_dtype) if key.out_dtype else q.dtype
+    out, lse = quantized_attention_forward(
+        qt_q, qt_k, qt_v, bias, corr,
+        causal=key.causal, window=key.window, scale=key.scale,
+        block_sizes=key.block_sizes, out_dtype=out_dtype,
+        interpret=key.interpret,
+    )
+    if vm is not None:
+        # V-mean restoration: softmax rows sum to 1, so out = P·v' + vm.
+        group = out.shape[1] // vm.shape[1]
+        vm_q = jnp.repeat(vm, group, axis=1) if group > 1 else vm
+        out = (out.astype(jnp.float32) + vm_q).astype(out.dtype)
+    # Residuals stay quantized — the training-memory saving
+    # (reference: 25-40%, README.md:100).
+    return out, (qt_q, qt_k, qt_v, qm, vm, bias, out, lse)
+
+
+def _qflash_bwd(key: _QAttnKey, residuals, g):
+    qt_q, qt_k, qt_v, qm, vm, bias, out, lse = residuals
+    # Deterministic re-dequantization (reference:
+    # MFABridge+Quantized.swift:425-440) + dense FP32 backward = STE.
+    # Consistency contract with the forward: the forward's scores were
+    # s = (q−qm)'·k' + qm·k' = q̃·k' with q̃ = deq(q')+qm and k' staying
+    # mean-smoothed, so LSE matches exactly; Ṽ = deq(v')+vm reproduces the
+    # returned out (= P·v' + vm). Jacobians of the mean shifts are identity.
+    q_dq = dequantize(qt_q, jnp.float32)
+    k_dq = dequantize(qt_k, jnp.float32)
+    v_dq = dequantize(qt_v, jnp.float32)
+    if qm is not None:
+        q_dq = q_dq + qm
+    if vm is not None:
+        v_dq = v_dq + vm
+    dq, dk, dv = flash_attention_backward(
+        q_dq, k_dq, v_dq, out.astype(jnp.float32), lse, g.astype(jnp.float32),
+        bias,
+        causal=key.causal, window=key.window, scale=key.scale,
+        block_sizes=key.block_sizes, interpret=key.interpret,
+    )
+    if key.config.hadamard:
+        from umfa_tpu.ops.hadamard import hadamard_rotate
+
+        # Grads w.r.t. rotated Q/K rotate back with the same (self-inverse)
+        # transform.
+        dq = hadamard_rotate(dq)
+        dk = hadamard_rotate(dk)
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return (
+        dq.astype(qt_q.orig_dtype),
+        dk.astype(qt_k.orig_dtype),
+        dv.astype(qt_v.orig_dtype),
+        dbias,
+    )
+
+
+_qflash.defvjp(_qflash_fwd, _qflash_bwd)
+
+
+def quantized_flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    config: QuantizationConfig = QuantizationConfig(),
+    causal: bool = False,
+    window: Optional[tuple] = None,
+    scale: Optional[float] = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    out_dtype=None,
+    interpret: bool = False,
+    return_lse: bool = False,
+):
+    """Runtime-quantized fused attention, differentiable (STE).
+
+    Analogue of the reference route `MetalQuantizedFlashAttentionFn.apply`
+    (metal_sdpa_backend.cpp:3139-3345): operands are quantized on device at
+    runtime, the fused INT kernel produces output + LSE, and gradients flow
+    straight through the rounding in FP32.
+    """
+    if config.mode == QuantMode.HYBRID:
+        from umfa_tpu.ops.quant import choose_mode
+
+        config = dataclasses.replace(config, mode=choose_mode(q))
+    key = _QAttnKey(
+        config=config,
+        causal=causal,
+        window=window,
+        scale=scale,
+        block_sizes=block_sizes,
+        out_dtype=jnp.dtype(out_dtype).name if out_dtype else None,
+        interpret=interpret,
+    )
+    if return_lse:
+        out, residuals = _qflash_fwd(key, q, k, v, bias)
+        return out, residuals[-1]
+    return _qflash(key, q, k, v, bias)

@@ -1,0 +1,76 @@
+"""shard_map wrappers: heads/batch/sequence-sharded fused attention.
+
+The TPU-native replacement for the reference's nonexistent multi-device
+story (SURVEY.md §5.8): batch rides "dp", attention heads ride "tp" (each
+device runs the fused kernel on its resident heads — zero cross-device
+traffic for dense attention), and long sequences ride "sp" via ring KV
+rotation (ring.py). Collectives are XLA's, inserted by shard_map specs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from umfa_tpu.engine.config import QuantizationConfig
+from umfa_tpu.ops.attention import flash_attention
+from umfa_tpu.ops.flash_fwd import BlockSizes
+from umfa_tpu.parallel.ring import ring_flash_attention
+
+
+def sharded_attention(
+    mesh: Mesh,
+    *,
+    data_axis: Optional[str] = "dp",
+    head_axis: Optional[str] = "tp",
+    seq_axis: Optional[str] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    quantization: Optional[QuantizationConfig] = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    interpret: bool = False,
+    jit: bool = True,
+) -> Callable:
+    """Build a sharded attention callable over `mesh`.
+
+    Returned fn takes (q, k, v) of global shape (B, H, S, D):
+      * B sharded over `data_axis`, H over `head_axis` (GQA: KV heads must
+        divide the axis size), S over `seq_axis` (ring attention) or
+        replicated per device.
+    """
+    qkv_spec = P(data_axis, head_axis, seq_axis, None)
+    kv_spec = P(data_axis, head_axis, seq_axis, None)
+
+    def _local(q, k, v):
+        if quantization is not None and quantization.q_precision.is_integer:
+            from umfa_tpu.ops.quant_attention import quantized_flash_attention
+
+            assert seq_axis is None, (
+                "quantized ring attention lands in a later revision"
+            )
+            return quantized_flash_attention(
+                q, k, v, config=quantization, causal=causal, scale=scale,
+                block_sizes=block_sizes, interpret=interpret,
+            )
+        if seq_axis is not None:
+            return ring_flash_attention(
+                q, k, v, axis_name=seq_axis, causal=causal, scale=scale,
+                block_sizes=block_sizes, interpret=interpret,
+            )
+        return flash_attention(
+            q, k, v, causal=causal, scale=scale,
+            block_sizes=block_sizes, interpret=interpret,
+        )
+
+    fn = shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(qkv_spec, kv_spec, kv_spec),
+        out_specs=qkv_spec,
+        check_rep=False,
+    )
+    return jax.jit(fn) if jit else fn
