@@ -1,0 +1,98 @@
+"""Public API dispatch behavior (reference: dispatcher routing + stats,
+metal_sdpa_backend.cpp:1643-1904; SURVEY.md §5.1)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import umfa_tpu
+from umfa_tpu.engine.stats import get_dispatch_stats, reset_dispatch_stats
+from umfa_tpu.ops.attention import reference_attention
+from umfa_tpu.utils.testing import TOL, make_qkv
+
+
+@pytest.fixture(autouse=True)
+def _clean_state():
+    reset_dispatch_stats()
+    umfa_tpu.clear_quantization_mode()
+    yield
+    umfa_tpu.clear_quantization_mode()
+
+
+def test_3d_promotion(rng):
+    q, k, v = make_qkv(rng, 1, 2, 64, 64, 64)
+    out3 = umfa_tpu.attention(q[0], k[0], v[0], interpret=True)
+    assert out3.shape == (2, 64, 64)
+    out4 = umfa_tpu.attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(out3, out4[0], **TOL["fp32"])
+
+
+def test_2d_promotion(rng):
+    q, k, v = make_qkv(rng, 1, 1, 64, 64, 64)
+    out2 = umfa_tpu.attention(q[0, 0], k[0, 0], v[0, 0], interpret=True)
+    assert out2.shape == (64, 64)
+
+
+def test_dispatch_stats_routes(rng):
+    q, k, v = make_qkv(rng, 1, 2, 64, 64, 64)
+    umfa_tpu.attention(q, k, v, interpret=True)
+    stats = get_dispatch_stats()
+    assert stats["total"] == 1
+    assert stats["fused_autograd"] == 1
+
+    umfa_tpu.set_quantization_mode("int8", "row")
+    umfa_tpu.attention(q, k, v, interpret=True)
+    stats = get_dispatch_stats()
+    assert stats["quantized_autograd"] == 1
+    umfa_tpu.clear_quantization_mode()
+
+
+def test_all_true_mask_elision(rng):
+    # Reference: metal_sdpa_backend.cpp:1767-1784.
+    q, k, v = make_qkv(rng, 1, 2, 64, 64, 64)
+    mask = jnp.ones((64, 64), dtype=bool)
+    out = umfa_tpu.attention(q, k, v, mask, interpret=True)
+    stats = get_dispatch_stats()
+    assert stats["mask_all_true_skipped"] == 1
+    want = reference_attention(q, k, v)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])
+
+
+def test_bool_mask_semantics(rng):
+    # True = attend (reference: mfa_ffi.h:46-64).
+    q, k, v = make_qkv(rng, 1, 2, 64, 64, 64)
+    mask = jnp.asarray(rng.random((1, 1, 64, 64)) > 0.3)
+    out = umfa_tpu.attention(q, k, v, mask, interpret=True)
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+    want = reference_attention(q, k, v, bias)
+    np.testing.assert_allclose(out, want, atol=1e-4, rtol=1e-4)
+
+
+def test_use_quantization_context(rng):
+    q, k, v = make_qkv(rng, 1, 2, 64, 64, 64)
+    with umfa_tpu.use_quantization("int8", "row"):
+        out_q = umfa_tpu.attention(q, k, v, interpret=True)
+    out_d = umfa_tpu.attention(q, k, v, interpret=True)
+    want = reference_attention(q, k, v)
+    # Quantized differs slightly from dense; both close to reference.
+    assert not np.allclose(np.asarray(out_q), np.asarray(out_d))
+    np.testing.assert_allclose(out_d, want, **TOL["fp32"])
+
+
+def test_attention_with_lse(rng):
+    q, k, v = make_qkv(rng, 1, 2, 64, 64, 64)
+    out, lse = umfa_tpu.attention_with_lse(q, k, v, interpret=True)
+    assert lse.shape == (1, 2, 64)
+    assert np.isfinite(np.asarray(lse)).all()
+
+
+def test_explicit_quant_config_overrides_global(rng):
+    from umfa_tpu.engine.config import Precision, QuantizationConfig
+
+    q, k, v = make_qkv(rng, 1, 2, 64, 64, 64)
+    umfa_tpu.set_quantization_mode("int4", "tensor")
+    cfg = QuantizationConfig()  # int8 row
+    out = umfa_tpu.attention(q, k, v, quantization=cfg, interpret=True)
+    want = reference_attention(q, k, v)
+    err = np.linalg.norm(np.asarray(out) - want) / np.linalg.norm(want)
+    assert err < 0.02  # int8-grade, not int4-grade

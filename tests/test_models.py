@@ -1,0 +1,121 @@
+"""Model-level tests: DiT flagship, MLA layer, multichip dry run."""
+
+import importlib.util
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umfa_tpu.models import dit, mla_model
+
+
+def test_dit_forward_finite(rng):
+    cfg = dit.DiTConfig(dim=256, num_heads=4, depth=2, dtype="float32",
+                        interpret=True)
+    params = dit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 256)), jnp.float32)
+    cond = jnp.asarray(rng.normal(0, 1, (2, 256)), jnp.float32)
+    out = dit.forward(params, x, cond, cfg)
+    assert out.shape == (2, 64, 256)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dit_train_step(rng):
+    cfg = dit.DiTConfig(dim=256, num_heads=4, depth=1, dtype="float32",
+                        interpret=True)
+    params = dit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 256)), jnp.float32)
+    cond = jnp.asarray(rng.normal(0, 1, (1, 256)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(0, 1, (1, 64, 256)), jnp.float32)
+
+    def loss(params):
+        pred = dit.forward(params, x, cond, cfg)
+        return jnp.mean((pred - tgt) ** 2)
+
+    l0, grads = jax.value_and_grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+    params2 = jax.tree_util.tree_map(lambda p, g: p - 1e-2 * g, params, grads)
+    assert float(loss(params2)) < float(l0)
+
+
+def test_dit_quantized_close_to_dense(rng):
+    # QAT-style: quantized DiT forward tracks the dense one (BASELINE
+    # config 4 reduced).
+    from umfa_tpu.engine.config import QuantizationConfig
+
+    base = dit.DiTConfig(dim=256, num_heads=4, depth=1, dtype="float32",
+                         interpret=True)
+    qcfg = dit.DiTConfig(dim=256, num_heads=4, depth=1, dtype="float32",
+                         quantization=QuantizationConfig(), interpret=True)
+    params = dit.init_params(jax.random.PRNGKey(0), base)
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 256)), jnp.float32)
+    cond = jnp.asarray(rng.normal(0, 1, (1, 256)), jnp.float32)
+    dense = np.asarray(dit.forward(params, x, cond, base))
+    quant = np.asarray(dit.forward(params, x, cond, qcfg))
+    err = np.linalg.norm(quant - dense) / np.linalg.norm(dense)
+    assert err < 0.05
+
+
+def test_dit_quantized_train_step(rng):
+    # BASELINE config 4: quantization-aware training step (STE grads).
+    from umfa_tpu.engine.config import QuantizationConfig
+
+    cfg = dit.DiTConfig(dim=256, num_heads=4, depth=1, dtype="float32",
+                        quantization=QuantizationConfig(), interpret=True)
+    params = dit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 256)), jnp.float32)
+    cond = jnp.asarray(rng.normal(0, 1, (1, 256)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(0, 1, (1, 64, 256)), jnp.float32)
+
+    def loss(params):
+        pred = dit.forward(params, x, cond, cfg)
+        return jnp.mean((pred - tgt) ** 2)
+
+    l0, grads = jax.value_and_grad(loss)(params)
+    params2 = jax.tree_util.tree_map(lambda p, g: p - 1e-2 * g, params, grads)
+    assert float(loss(params2)) < float(l0)
+
+
+def test_mla_forward_and_compression(rng):
+    cfg = mla_model.MLAConfig(dim=256, num_heads=4, latent_dim=32,
+                              dtype="float32", interpret=True)
+    params = mla_model.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 256)), jnp.float32)
+    latent = mla_model.compress_kv(params, x)
+    assert latent.shape == (1, 64, 32)  # 8x KV compression
+    out = mla_model.forward(params, x, cfg)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mla_sparse_indexer(rng):
+    cfg = mla_model.MLAConfig(dim=256, num_heads=4, latent_dim=32,
+                              dtype="float32", indexer_topk=16,
+                              causal=False, interpret=True)
+    params = mla_model.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 256)), jnp.float32)
+    out = mla_model.forward(params, x, cfg)
+    assert np.isfinite(np.asarray(out)).all()
+    dense_cfg = mla_model.MLAConfig(dim=256, num_heads=4, latent_dim=32,
+                                    dtype="float32", causal=False,
+                                    interpret=True)
+    dense = mla_model.forward(params, x, dense_cfg)
+    assert not np.allclose(np.asarray(out), np.asarray(dense))
+
+
+@pytest.mark.multidevice
+def test_graft_entry_dryrun():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(repo, "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    mod.dryrun_multichip(8)

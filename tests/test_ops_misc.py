@@ -1,0 +1,156 @@
+"""RoPE, Hadamard, MLA op tests (reference parity: rope_rotate kernels,
+HadamardRotation, MLAOptimizedGEMMMFA + sparse indexer — SURVEY.md §2.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umfa_tpu.ops.attention import flash_attention, reference_attention
+from umfa_tpu.ops.hadamard import hadamard_rotate
+from umfa_tpu.ops.mla import mla_decompress, mla_attention, sparse_indexer_scores
+from umfa_tpu.ops.rope import apply_rope, rope_angles, rope_attention
+from umfa_tpu.utils.testing import TOL, make_qkv
+
+
+# ---------------- RoPE ----------------
+
+def test_rope_exact_inverse(rng):
+    # negate_sin gives the exact inverse (reference: MFABridge.swift:269-319).
+    x = jnp.asarray(rng.normal(0, 1, (1, 2, 64, 64)), jnp.float32)
+    cos, sin = rope_angles(64, 64)
+    y = apply_rope(x, cos, sin)
+    x_back = apply_rope(y, cos, sin, negate_sin=True)
+    np.testing.assert_allclose(x_back, x, atol=1e-5, rtol=1e-5)
+
+
+def test_rope_preserves_norm(rng):
+    x = jnp.asarray(rng.normal(0, 1, (1, 1, 32, 64)), jnp.float32)
+    cos, sin = rope_angles(32, 64)
+    y = apply_rope(x, cos, sin)
+    np.testing.assert_allclose(
+        jnp.linalg.norm(y, axis=-1), jnp.linalg.norm(x, axis=-1),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_rope_relative_position_property(rng):
+    # <rope(q, m), rope(k, n)> depends only on (m - n).
+    q = jnp.asarray(rng.normal(0, 1, (64,)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (64,)), jnp.float32)
+    cos, sin = rope_angles(32, 64)
+
+    def dot_at(m, n):
+        qm = apply_rope(q[None, None, None], cos[m : m + 1], sin[m : m + 1])
+        kn = apply_rope(k[None, None, None], cos[n : n + 1], sin[n : n + 1])
+        return float(jnp.sum(qm * kn))
+
+    assert abs(dot_at(5, 3) - dot_at(10, 8)) < 1e-3
+    assert abs(dot_at(7, 7) - dot_at(0, 0)) < 1e-3
+
+
+def test_rope_attention_matches_manual(rng):
+    q, k, v = make_qkv(rng, 1, 2, 128, 128, 64)
+    out = rope_attention(q, k, v, causal=True, interpret=True)
+    cos, sin = rope_angles(128, 64)
+    q_rot = apply_rope(q, cos, sin)
+    k_rot = apply_rope(k, cos, sin)
+    want = reference_attention(q_rot, k_rot, v, causal=True)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])
+
+
+def test_rope_attention_grads(rng):
+    # Gradients through fused RoPE+attention — the exact inverse rotation in
+    # backward comes from autodiff of the orthogonal rotation.
+    q, k, v = make_qkv(rng, 1, 1, 64, 64, 64)
+
+    def loss(q, k, v):
+        return jnp.sum(rope_attention(q, k, v, interpret=True) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+# ---------------- Hadamard ----------------
+
+def test_hadamard_self_inverse(rng):
+    x = jnp.asarray(rng.normal(0, 1, (2, 3, 16, 64)), jnp.float32)
+    y = hadamard_rotate(hadamard_rotate(x))
+    np.testing.assert_allclose(y, x, atol=1e-5, rtol=1e-5)
+
+
+def test_hadamard_orthogonal(rng):
+    # Norm-preserving (orthogonal transform).
+    x = jnp.asarray(rng.normal(0, 1, (1, 1, 8, 128)), jnp.float32)
+    y = hadamard_rotate(x)
+    np.testing.assert_allclose(
+        jnp.linalg.norm(y, axis=-1), jnp.linalg.norm(x, axis=-1),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_hadamard_blockwise(rng):
+    x = jnp.asarray(rng.normal(0, 1, (4, 128)), jnp.float32)
+    y = hadamard_rotate(x, block_size=32)
+    # Self-inverse per block too.
+    np.testing.assert_allclose(
+        hadamard_rotate(y, block_size=32), x, atol=1e-5, rtol=1e-5
+    )
+    # Differs from full-width transform.
+    assert not np.allclose(y, hadamard_rotate(x))
+
+
+def test_hadamard_matches_matrix(rng):
+    # Against the explicit Hadamard matrix H_4 (normalized).
+    h4 = np.array(
+        [[1, 1, 1, 1], [1, -1, 1, -1], [1, 1, -1, -1], [1, -1, -1, 1]],
+        np.float32,
+    ) / 2.0
+    x = jnp.asarray(rng.normal(0, 1, (8, 4)), jnp.float32)
+    want = np.asarray(x) @ h4.T
+    np.testing.assert_allclose(hadamard_rotate(x), want, atol=1e-5, rtol=1e-5)
+
+
+def test_hadamard_rejects_bad_sizes():
+    x = jnp.zeros((4, 96))
+    with pytest.raises(ValueError):
+        hadamard_rotate(x, block_size=96)  # not a power of two
+    with pytest.raises(ValueError):
+        hadamard_rotate(x, block_size=64)  # 96 % 64 != 0
+
+
+# ---------------- MLA ----------------
+
+def test_mla_decompress_matches_einsum(rng):
+    latent = jnp.asarray(rng.normal(0, 1, (2, 64, 32)), jnp.float32)
+    w_k = jnp.asarray(rng.normal(0, 1, (32, 256)), jnp.float32)
+    w_v = jnp.asarray(rng.normal(0, 1, (32, 256)), jnp.float32)
+    k, v = mla_decompress(latent, w_k, w_v, num_heads=4)
+    assert k.shape == (2, 4, 64, 64)
+    want_k = np.einsum("bsl,lf->bsf", latent, w_k).reshape(2, 64, 4, 64)
+    np.testing.assert_allclose(
+        k, want_k.transpose(0, 2, 1, 3), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_sparse_indexer_scores(rng):
+    q = jnp.asarray(rng.normal(0, 1, (1, 16, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (1, 32, 64)), jnp.float32)
+    s = sparse_indexer_scores(q, k)
+    want = np.maximum(
+        np.einsum("bqd,bkd->bqk", q, k) * (64**-0.5), 0.0
+    )
+    np.testing.assert_allclose(s, want, atol=1e-5, rtol=1e-5)
+    assert (np.asarray(s) >= 0).all()
+
+
+def test_mla_attention_end_to_end(rng):
+    q = jnp.asarray(rng.normal(0, 1, (1, 4, 64, 64)), jnp.float32)
+    latent = jnp.asarray(rng.normal(0, 1, (1, 64, 32)), jnp.float32)
+    w_k = jnp.asarray(rng.normal(0, 0.2, (32, 256)), jnp.float32)
+    w_v = jnp.asarray(rng.normal(0, 0.2, (32, 256)), jnp.float32)
+    out = mla_attention(q, latent, w_k, w_v, causal=True, interpret=True)
+    k, v = mla_decompress(latent, w_k, w_v, num_heads=4)
+    want = reference_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])

@@ -14,7 +14,8 @@ from typing import Callable, Optional
 
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+from umfa_tpu.utils.compat import shard_map
 
 from umfa_tpu.engine.config import QuantizationConfig
 from umfa_tpu.ops.attention import flash_attention
@@ -71,6 +72,5 @@ def sharded_attention(
         mesh=mesh,
         in_specs=(qkv_spec, kv_spec, kv_spec),
         out_specs=qkv_spec,
-        check_rep=False,
     )
     return jax.jit(fn) if jit else fn
