@@ -8,7 +8,6 @@ reference envelope. Prints ONE JSON line on stdout; details on stderr.
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -17,24 +16,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, warmup=3, iters=10):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def main():
     from umfa_tpu.engine.config import Precision, QuantizationConfig, QuantMode
     from umfa_tpu.ops.attention import flash_attention
     from umfa_tpu.ops.quant_attention import quantized_flash_attention
+    from umfa_tpu.utils.timing import time_op
 
     on_cpu = jax.default_backend() == "cpu"
-    B, H, S, D = (1, 4, 512, 64) if on_cpu else (2, 16, 4096, 64)
+    B, H, S, D = (1, 2, 256, 64) if on_cpu else (2, 16, 4096, 64)
     dtype = jnp.bfloat16
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(0, 1, (B, H, S, D)), dtype)
@@ -64,10 +53,11 @@ def main():
         lambda q, k, v: quantized_flash_attention(q, k, v, config=qcfg(Precision.INT4))
     )
 
-    t_sdpa = timeit(xla_sdpa, q, k, v)
-    t_fused = timeit(fused, q, k, v)
-    t_int8 = timeit(int8, q, k, v)
-    t_int4 = timeit(int4, q, k, v)
+    iters = 8 if on_cpu else 64
+    t_sdpa = time_op(xla_sdpa, q, k, v, iters=iters)
+    t_fused = time_op(fused, q, k, v, iters=iters)
+    t_int8 = time_op(int8, q, k, v, iters=iters)
+    t_int4 = time_op(int4, q, k, v, iters=iters)
 
     # Accuracy vs FP32 reference on the same inputs.
     from umfa_tpu.ops.attention import reference_attention

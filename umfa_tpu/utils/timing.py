@@ -1,0 +1,72 @@
+"""Device-true op timing.
+
+The TPU in this environment sits behind a network relay: per-dispatch RTT is
+~30 ms and `block_until_ready` can report early, so naive per-call timing is
+meaningless (it reports >10× the chip's peak). Methodology here (the
+TPU-native analogue of the reference's GPU-true
+`commandBuffer.gpuEndTime - gpuStartTime` timing, MFABridge.swift:139-140):
+
+  * run N iterations of the op inside ONE jitted fori_loop, chained through a
+    tiny data dependency so XLA can neither hoist nor CSE the op;
+  * force completion with a scalar host fetch;
+  * time two iteration counts and take the slope — constant dispatch/RTT
+    overhead cancels exactly.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _looped(op: Callable, iters: int):
+    @jax.jit
+    def run(*args):
+        q = args[0]
+
+        def body(i, carry):
+            acc, qq = carry
+            out = op(qq, *args[1:])
+            s = jnp.sum(out[..., 0, :1]).astype(jnp.float32)
+            acc = acc + s
+            # Chain a negligible perturbation into the next iteration's input
+            # to serialize iterations and defeat loop-invariant hoisting.
+            qq = qq + (s * 1e-30).astype(qq.dtype)
+            return acc, qq
+
+        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0.0), q))
+        return acc
+
+    return run
+
+
+def time_op(op: Callable, *args, iters: int = 64, reps: int = 3) -> float:
+    """Return best per-iteration seconds for op(*args) (device-true)."""
+    n1, n2 = max(1, iters // 8), iters
+    run1, run2 = _looped(op, n1), _looped(op, n2)
+    float(run1(*args))  # compile + warm
+    float(run2(*args))
+
+    def best(run):
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(run(*args))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    t1, t2 = best(run1), best(run2)
+    return max((t2 - t1) / (n2 - n1), 1e-9)
+
+
+def attention_flops(batch, heads, seq_q, seq_k, head_dim, causal=False,
+                    backward=False):
+    f = 4 * batch * heads * seq_q * seq_k * head_dim
+    if causal:
+        f //= 2
+    if backward:
+        f = f * 5 // 2  # bwd ≈ 2.5× fwd FLOPs (dQ + dKdV recompute)
+    return f
