@@ -1,0 +1,102 @@
+"""KV cache + decode attention tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umfa_tpu.ops.attention import reference_attention
+from umfa_tpu.serving import decode_attention, init_cache, init_quantized_cache
+from umfa_tpu.serving.kv_cache import append, append_quantized
+from umfa_tpu.utils.testing import make_qkv
+
+
+def test_cache_append_and_lengths(rng):
+    cache = init_cache(2, 4, 128, 64, jnp.float32)
+    k1 = jnp.asarray(rng.normal(0, 1, (2, 4, 16, 64)), jnp.float32)
+    v1 = jnp.asarray(rng.normal(0, 1, (2, 4, 16, 64)), jnp.float32)
+    cache = append(cache, k1, v1)
+    assert (np.asarray(cache.length) == 16).all()
+    np.testing.assert_allclose(cache.k[:, :, :16], k1)
+    k2 = jnp.asarray(rng.normal(0, 1, (2, 4, 8, 64)), jnp.float32)
+    cache = append(cache, k2, k2)
+    assert (np.asarray(cache.length) == 24).all()
+    np.testing.assert_allclose(cache.k[:, :, 16:24], k2)
+
+
+def test_decode_matches_full_attention(rng):
+    # Prefill 48 tokens into a 128-slot cache; decoding one new query must
+    # equal full attention over the 48 real tokens.
+    q_full, k_full, v_full = make_qkv(rng, 2, 4, 48, 48, 64)
+    cache = init_cache(2, 4, 128, 64, jnp.float32)
+    cache = append(cache, k_full, v_full)
+    q1 = q_full[:, :, -1:]
+    out = decode_attention(q1, cache, interpret=True)
+    want = reference_attention(q1, k_full, v_full)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4, rtol=1e-4)
+
+
+def test_decode_chunked_causal(rng):
+    # Chunked decode: 8 new queries appended after 40 cached tokens must see
+    # cache + themselves causally == causal attention over 48 tokens.
+    q_full, k_full, v_full = make_qkv(rng, 1, 2, 48, 48, 64)
+    cache = init_cache(1, 2, 64, 64, jnp.float32)
+    cache = append(cache, k_full, v_full)
+    q_new = q_full[:, :, 40:]
+    out = decode_attention(q_new, cache, interpret=True)
+    want = reference_attention(q_full, k_full, v_full, causal=True)[:, :, 40:]
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4, rtol=1e-4)
+
+
+def test_decode_ragged_lengths(rng):
+    # Different fill lengths per batch element.
+    cache = init_cache(2, 2, 64, 64, jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (2, 2, 32, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (2, 2, 32, 64)), jnp.float32)
+    cache = append(cache, k, v)
+    # Manually shorten sequence 1 to 20 tokens.
+    cache.length = cache.length.at[1].set(20)
+    q = jnp.asarray(rng.normal(0, 1, (2, 2, 1, 64)), jnp.float32)
+    out = decode_attention(q, cache, interpret=True)
+    want0 = reference_attention(q[:1], k[:1], v[:1])
+    want1 = reference_attention(q[1:], k[1:, :, :20], v[1:, :, :20])
+    np.testing.assert_allclose(np.asarray(out[:1]), want0, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[1:]), want1, atol=1e-4, rtol=1e-4)
+
+
+def test_quantized_cache_decode(rng):
+    q_full, k_full, v_full = make_qkv(rng, 1, 4, 64, 64, 64)
+    qcache = init_quantized_cache(1, 4, 128, 64)
+    qcache = append_quantized(qcache, k_full, v_full)
+    assert qcache.k_values.dtype == jnp.int8
+    q1 = q_full[:, :, -1:]
+    out = decode_attention(q1, qcache, interpret=True)
+    want = np.asarray(reference_attention(q1, k_full, v_full))
+    err = np.linalg.norm(np.asarray(out, np.float32) - want) / np.linalg.norm(want)
+    assert err < 0.03
+
+
+def test_quantized_cache_memory_ratio():
+    dense = init_cache(1, 4, 1024, 64, jnp.float32)
+    quant = init_quantized_cache(1, 4, 1024, 64)
+    dense_bytes = dense.k.size * 4 * 2
+    quant_bytes = (
+        quant.k_values.size + quant.v_values.size
+        + (quant.k_scales.size + quant.v_scales.size) * 4
+    )
+    assert dense_bytes / quant_bytes > 3.7
+
+
+def test_cache_is_jittable(rng):
+    cache = init_cache(1, 2, 64, 64, jnp.float32)
+
+    @jax.jit
+    def step(cache, k, v, q):
+        cache = append(cache, k, v)
+        return decode_attention(q, cache, interpret=True), cache
+
+    k = jnp.asarray(rng.normal(0, 1, (1, 2, 4, 64)), jnp.float32)
+    q = jnp.asarray(rng.normal(0, 1, (1, 2, 1, 64)), jnp.float32)
+    out, cache = step(cache, k, k, q)
+    assert out.shape == (1, 2, 1, 64)
+    assert int(cache.length[0]) == 4

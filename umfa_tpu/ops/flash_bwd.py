@@ -258,8 +258,10 @@ def flash_attention_backward(
         scale = head_dim**-0.5
     interpret = interpret or jax.default_backend() == "cpu"
 
-    block_q = min(block_sizes.block_q_dq, max(seq_q, 8))
-    block_k = min(block_sizes.block_k_dq, max(seq_k, 8))
+    from umfa_tpu.ops.flash_fwd import _choose_block
+
+    block_q = _choose_block(block_sizes.block_q_dq, seq_q, head_dim)
+    block_k = _choose_block(block_sizes.block_k_dq, seq_k, head_dim)
 
     # D = rowsum(dO ∘ O) — FP32 per-row statistic (reference's D scratch,
     # MFABridge.swift:3241-3243). A cotangent on LSE folds in exactly here:
@@ -357,6 +359,9 @@ def flash_attention_backward(
             (batch, num_heads, padded_sq, head_dim), jnp.float32
         ),
         scratch_shapes=[pltpu.VMEM((block_q, head_dim), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(*common_args)
 
@@ -387,6 +392,9 @@ def flash_attention_backward(
             pltpu.VMEM((block_k, head_dim), jnp.float32),
             pltpu.VMEM((block_k, head_dim), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(*common_args)
 

@@ -45,15 +45,31 @@ _LANES = 128
 
 @dataclasses.dataclass(frozen=True)
 class BlockSizes:
-    """Static tile sizes. Defaults mirror the reference's BlockSizeConfig
-    (metal_sdpa_backend.h:63-253: Q=128, K=64/128) but aligned to the MXU."""
+    """Static tile sizes (role parity: the reference's BlockSizeConfig,
+    metal_sdpa_backend.h:63-253 — but tuned for TPU: v5e sweep showed the
+    forward kernel goes 7.5 → 68 TFLOP/s moving from 128×128 to large KV
+    tiles, which amortize grid-step overhead and keep the MXU fed)."""
 
-    block_q: int = 128
-    block_k: int = 128
-    block_q_dq: int = 128
-    block_k_dq: int = 128
-    block_q_dkv: int = 128
-    block_k_dkv: int = 128
+    block_q: int = 512
+    block_k: int = 2048
+    block_q_dq: int = 256
+    block_k_dq: int = 512
+    block_q_dkv: int = 512
+    block_k_dkv: int = 256
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _choose_block(requested: int, seq: int, head_dim: int, vmem_cap_elems=2**18):
+    """Clamp a block size to the (128-rounded) sequence and keep the
+    per-operand tile under ~vmem_cap_elems elements so large head dims don't
+    blow VMEM (tile = block × head_dim)."""
+    b = min(requested, _round_up(max(seq, 1), 128))
+    while b > 128 and b * head_dim > vmem_cap_elems:
+        b //= 2
+    return b
 
 
 def _block_visible(
@@ -287,8 +303,8 @@ def flash_attention_forward(
     if out_dtype is None:
         out_dtype = q.dtype
 
-    block_q = min(block_sizes.block_q, max(seq_q, 8))
-    block_k = min(block_sizes.block_k, max(seq_k, 8))
+    block_q = _choose_block(block_sizes.block_q, seq_q, head_dim)
+    block_k = _choose_block(block_sizes.block_k, seq_k, head_dim)
 
     q_pad = _pad_seq(q, block_q, 2)
     k_pad = _pad_seq(k, block_k, 2)
@@ -373,6 +389,11 @@ def flash_attention_forward(
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
             + q.size * jnp.dtype(out_dtype).itemsize,
             transcendentals=batch * num_heads * seq_q * seq_k,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # b/h/qi are independent; only the KV walk carries state —
+            # lets Mosaic software-pipeline DMA against compute.
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
         debug=debug,

@@ -255,8 +255,10 @@ def quantized_attention_forward(
             "mixed quantization strategies not supported"
         )
 
-    block_q = min(block_sizes.block_q, max(seq_q, 8))
-    block_k = min(block_sizes.block_k, max(seq_k, 8))
+    from umfa_tpu.ops.flash_fwd import _choose_block
+
+    block_q = _choose_block(block_sizes.block_q, seq_q, head_dim)
+    block_k = _choose_block(block_sizes.block_k, seq_k, head_dim)
 
     q_vals = _pad_seq(qt_q.values, block_q, 2)
     k_vals = _pad_seq(qt_k.values, block_k, 2)
@@ -387,6 +389,9 @@ def quantized_attention_forward(
             bytes_accessed=q_vals.size + k_vals.size + v_vals.size
             + batch * num_heads * seq_q * head_dim * 4,
             transcendentals=batch * num_heads * seq_q * seq_k,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(*args)

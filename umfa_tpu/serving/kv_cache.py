@@ -1,0 +1,120 @@
+"""KV caches for incremental decoding.
+
+Static-shape by construction (XLA-friendly): a cache is a preallocated
+(B, Hkv, S_max, D) buffer plus per-sequence fill lengths; `append` is a
+dynamic_update_slice, never a reshape. The quantized variant stores INT8
+rows + per-row scales — new tokens are quantized row-wise at append time, so
+the cache holds ~4× more tokens per HBM byte (KV-cache compression,
+PAPERS.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    k: jax.Array        # (B, Hkv, S_max, D)
+    v: jax.Array        # (B, Hkv, S_max, D)
+    length: jax.Array   # (B,) int32
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.length), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedKVCache:
+    k_values: jax.Array   # (B, Hkv, S_max, D) int8
+    k_scales: jax.Array   # (B, Hkv, S_max, 1) f32
+    v_values: jax.Array
+    v_scales: jax.Array
+    length: jax.Array     # (B,) int32
+
+    def tree_flatten(self):
+        return (
+            self.k_values, self.k_scales, self.v_values, self.v_scales,
+            self.length,
+        ), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def max_len(self) -> int:
+        return self.k_values.shape[2]
+
+
+def init_cache(batch, num_kv_heads, max_len, head_dim, dtype=jnp.bfloat16):
+    return KVCache(
+        k=jnp.zeros((batch, num_kv_heads, max_len, head_dim), dtype),
+        v=jnp.zeros((batch, num_kv_heads, max_len, head_dim), dtype),
+        length=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def init_quantized_cache(batch, num_kv_heads, max_len, head_dim):
+    return QuantizedKVCache(
+        k_values=jnp.zeros((batch, num_kv_heads, max_len, head_dim), jnp.int8),
+        k_scales=jnp.ones((batch, num_kv_heads, max_len, 1), jnp.float32),
+        v_values=jnp.zeros((batch, num_kv_heads, max_len, head_dim), jnp.int8),
+        v_scales=jnp.ones((batch, num_kv_heads, max_len, 1), jnp.float32),
+        length=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _update_rows(buf, new, start):
+    """Write `new` (Hkv, T, ...) into buf (Hkv, S_max, ...) at row `start`."""
+    return jax.lax.dynamic_update_slice(
+        buf, new.astype(buf.dtype), (0, start) + (0,) * (buf.ndim - 2)
+    )
+
+
+def append(cache: KVCache, k_new: jax.Array, v_new: jax.Array) -> KVCache:
+    """Append T new tokens per sequence. k_new/v_new: (B, Hkv, T, D).
+    Per-sequence fill positions come from cache.length (may differ across
+    the batch — continuous batching appends at each sequence's own offset).
+    """
+    t = k_new.shape[2]
+    k = jax.vmap(_update_rows)(cache.k, k_new, cache.length)
+    v = jax.vmap(_update_rows)(cache.v, v_new, cache.length)
+    return KVCache(k=k, v=v, length=cache.length + t)
+
+
+def _rowwise_quant(x):
+    """(…, T, D) → int8 values + (…, T, 1) scales (symmetric row-wise)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -128, 127)
+    return q.astype(jnp.int8), scale
+
+
+def append_quantized(
+    cache: QuantizedKVCache, k_new: jax.Array, v_new: jax.Array
+) -> QuantizedKVCache:
+    """Quantize new rows (row-wise symmetric INT8) and append."""
+    t = k_new.shape[2]
+    kq, ks = _rowwise_quant(k_new)
+    vq, vs = _rowwise_quant(v_new)
+    return QuantizedKVCache(
+        k_values=jax.vmap(_update_rows)(cache.k_values, kq, cache.length),
+        k_scales=jax.vmap(_update_rows)(cache.k_scales, ks, cache.length),
+        v_values=jax.vmap(_update_rows)(cache.v_values, vq, cache.length),
+        v_scales=jax.vmap(_update_rows)(cache.v_scales, vs, cache.length),
+        length=cache.length + t,
+    )

@@ -1,0 +1,59 @@
+"""Foreign-framework tensor interop.
+
+Functional parity with the reference's zero-copy buffer interop
+(MFABridge.swift:848-1053 wraps host pointers / foreign MTLBuffers;
+mps_utils.mm steals torch's buffers). On TPU the equivalent is DLPack:
+torch/numpy tensors come in without copies where the backends allow it, and
+the public API stays framework-agnostic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def from_torch(t):
+    """torch.Tensor → jax.Array (DLPack, zero-copy on shared backends)."""
+    try:
+        import torch  # noqa: F401
+        import torch.utils.dlpack as tdl
+    except ImportError as e:
+        raise ImportError("torch not available") from e
+    if t.device.type != "cpu":
+        t = t.detach().cpu()
+    else:
+        t = t.detach()
+    try:
+        return jnp.from_dlpack(t.contiguous())
+    except Exception:
+        return jnp.asarray(t.numpy())
+
+
+def to_torch(x: jax.Array):
+    """jax.Array → torch.Tensor."""
+    try:
+        import torch
+        import torch.utils.dlpack as tdl
+    except ImportError as e:
+        raise ImportError("torch not available") from e
+    import numpy as np
+
+    try:
+        return tdl.from_dlpack(jax.device_get(x).__dlpack__())
+    except Exception:
+        return torch.from_numpy(np.asarray(jax.device_get(x)))
+
+
+def torch_sdpa(q, k, v, attn_mask=None, is_causal=False, scale=None, **kwargs):
+    """torch-tensor-shaped SDPA entry: accepts torch tensors, runs the fused
+    TPU kernels, returns a torch tensor. The role of the reference's
+    `torch.nn.functional.scaled_dot_product_attention` override
+    (metal_sdpa_backend.cpp:3426-3432), minus the dispatcher-key hack that
+    only makes sense in-process with torch's MPS runtime."""
+    from umfa_tpu.api import attention
+
+    jq, jk, jv = from_torch(q), from_torch(k), from_torch(v)
+    jmask = from_torch(attn_mask) if attn_mask is not None else None
+    out = attention(jq, jk, jv, jmask, is_causal=is_causal, scale=scale, **kwargs)
+    return to_torch(out)
