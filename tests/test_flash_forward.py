@@ -107,6 +107,17 @@ def test_additive_bias_broadcast(rng):
     np.testing.assert_allclose(out_h, want_h, **TOL["fp32"])
 
 
+def test_alibi_style_q_broadcast_bias(rng):
+    # (1, H, 1, Sk) bias broadcast over query rows — regression: broadcast
+    # decision must precede padding (a padded-to-block bias read zeros for
+    # every q row > 0).
+    q, k, v = make_qkv(rng, 2, 4, 256, 256, 64)
+    bias = jnp.asarray(rng.normal(0, 1, (1, 4, 1, 256)), jnp.float32)
+    out, _ = flash_attention_forward(q, k, v, bias, interpret=True)
+    want = reference_attention(q, k, v, bias)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])
+
+
 def test_bias_plus_causal(rng):
     q, k, v = make_qkv(rng, 1, 2, 128, 128, 64)
     bias = jnp.asarray(rng.normal(0, 1, (1, 1, 128, 128)), jnp.float32)

@@ -75,6 +75,21 @@ def test_sharded_quantized(rng):
     assert err < 0.02
 
 
+def test_quantized_ring_attention(rng):
+    from umfa_tpu.engine.config import QuantizationConfig
+
+    mesh = make_mesh(dp=1, sp=4, tp=2)
+    q, k, v = make_qkv(rng, 1, 2, 512, 512, 64)
+    attn = sharded_attention(
+        mesh, seq_axis="sp", causal=True,
+        quantization=QuantizationConfig(), interpret=True,
+    )
+    out = attn(q, k, v)
+    want = np.asarray(reference_attention(q, k, v, causal=True))
+    err = np.linalg.norm(np.asarray(out) - want) / np.linalg.norm(want)
+    assert err < 0.03
+
+
 def test_explicit_device_placement(rng):
     # Inputs pre-placed with NamedSharding still work.
     mesh = make_mesh(dp=2, sp=1, tp=4)

@@ -31,6 +31,10 @@ class AttnConfig:
     block_sizes: BlockSizes = BlockSizes()
     out_dtype: Optional[str] = None
     interpret: bool = False
+    # Opt-in: compute the real bias gradient (trainable relative-position
+    # biases). Off by default — masks are usually constants and the dbias
+    # pass costs a full extra kernel sweep.
+    bias_grad: bool = False
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -67,7 +71,27 @@ def _flash_bwd(config, residuals, g):
         block_sizes=config.block_sizes,
         interpret=config.interpret,
     )
-    dbias = None if bias is None else jnp.zeros_like(bias)
+    if bias is None:
+        dbias = None
+    elif config.bias_grad:
+        from umfa_tpu.ops.flash_bwd import flash_attention_bias_grad
+
+        b4 = bias
+        while b4.ndim < 4:
+            b4 = b4[None]
+        expand_q = b4.shape[2] == 1
+        if expand_q:
+            b4 = jnp.broadcast_to(b4, (*b4.shape[:2], q.shape[2], b4.shape[3]))
+        dbias = flash_attention_bias_grad(
+            q, k, v, out, lse, g_out, b4,
+            causal=config.causal, window=config.window, scale=config.scale,
+            block_sizes=config.block_sizes, interpret=config.interpret,
+        )
+        if expand_q:
+            dbias = jnp.sum(dbias, axis=2, keepdims=True)
+        dbias = dbias.reshape(bias.shape).astype(bias.dtype)
+    else:
+        dbias = jnp.zeros_like(bias)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias
 
 
@@ -87,11 +111,14 @@ def flash_attention(
     out_dtype=None,
     interpret: bool = False,
     return_lse: bool = False,
+    bias_grad: bool = False,
 ):
     """Differentiable fused flash attention.
 
     q: (B, Hq, Sq, D); k, v: (B, Hkv, Sk, D) with Hq % Hkv == 0 (GQA).
     bias: optional additive FP32 bias, broadcastable (leading dims may be 1).
+    bias_grad=True computes the real bias gradient (else zeros — see
+    AttnConfig.bias_grad).
     Gradients are computed in FP32 and cast back to input dtypes (reference
     invariant: FP32 grads, metal_sdpa_backend.cpp:2800-2804).
     """
@@ -102,6 +129,7 @@ def flash_attention(
         block_sizes=block_sizes,
         out_dtype=jnp.dtype(out_dtype).name if out_dtype is not None else None,
         interpret=interpret,
+        bias_grad=bias_grad,
     )
     out, lse = _flash(config, q, k, v, bias)
     if return_lse:

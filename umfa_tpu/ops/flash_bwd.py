@@ -225,6 +225,197 @@ def _dkv_kernel(
         dv_ref[0, 0] = dv_scr[...]
 
 
+def _dbias_kernel(
+    *refs,
+    scale,
+    causal,
+    window,
+    block_q,
+    block_k,
+    seq_q,
+    seq_k,
+    b_inner,          # grid dim order: True → (qi, ki, h, b), else (qi, ki, b, h)
+    sum_b,
+    sum_h,
+    nb,
+    nh,
+):
+    (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
+     dbias_ref, acc_scr) = refs
+
+    qi = pl.program_id(0)
+    ki = pl.program_id(1)
+    d3 = pl.program_id(2)
+    d4 = pl.program_id(3)
+    b, h = (d4, d3) if b_inner else (d3, d4)
+    q_start = qi * block_q
+    k_start = ki * block_k
+
+    inner = d4
+    n_inner = nb if b_inner else nh
+    first = inner == 0 if (sum_b or sum_h) else inner >= 0
+    last = inner == n_inner - 1 if (sum_b or sum_h) else inner >= 0
+    if sum_b and sum_h:
+        first = jnp.logical_and(d3 == 0, d4 == 0)
+        last = jnp.logical_and(d3 == pl.num_programs(2) - 1,
+                               d4 == pl.num_programs(3) - 1)
+
+    @pl.when(first)
+    def _init():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    visible, partial = _block_visible(
+        q_start, k_start,
+        block_q=block_q, block_k=block_k,
+        causal=causal, window=window, seq_q=seq_q, seq_k=seq_k,
+    )
+
+    @pl.when(visible)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, 0:1]
+        delta = delta_ref[0, 0][:, 0:1]
+
+        masked = causal or window is not None or bool(seq_k % block_k)
+        masked_args = None
+        if masked:
+            mask = _intra_block_mask(
+                q_start, k_start,
+                block_q=block_q, block_k=block_k,
+                causal=causal, window=window, seq_k=seq_k,
+            )
+            masked_args = (partial, mask)
+        p = _recompute_p(q, k, lse, bias_ref[0, 0], scale=scale,
+                         masked_args=masked_args)
+        dp = jax.lax.dot_general(
+            do.astype(v.dtype), v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mxu(v.dtype),
+        )
+        # d bias = dS = P ∘ (dP − δ): bias enters scores additively after
+        # the softmax scale, so no scale factor here.
+        acc_scr[...] += p * (dp - delta)
+
+    @pl.when(last)
+    def _finalize():
+        dbias_ref[0, 0] = acc_scr[...]
+
+
+def flash_attention_bias_grad(
+    q, k, v, out, lse, do, bias,
+    *,
+    causal=False, window=None, scale=None,
+    block_sizes: BlockSizes = BlockSizes(),
+    interpret: bool = False,
+):
+    """dL/dbias with broadcast dims reduced in-kernel (a bias of shape
+    (1, 1, Sq, Sk) gets its gradient summed over batch and heads in VMEM
+    scratch — the [B,H,Sq,Sk] tensor is never materialized)."""
+    batch, num_heads, seq_q, head_dim = q.shape
+    _, num_kv_heads, seq_k, _ = k.shape
+    group = num_heads // num_kv_heads
+    if scale is None:
+        scale = head_dim**-0.5
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    from umfa_tpu.ops.flash_fwd import _choose_block
+
+    block_q = _choose_block(block_sizes.block_q_dq, seq_q, head_dim)
+    block_k = _choose_block(block_sizes.block_k_dq, seq_k, head_dim)
+
+    while bias.ndim < 4:
+        bias = bias[None]
+    bb, bh = bias.shape[0], bias.shape[1]
+    assert bias.shape[2] != 1, "q-broadcast bias grad unsupported (expand first)"
+    sum_b, sum_h = bb == 1, bh == 1
+    b_inner = sum_b and not sum_h  # broadcast dim goes innermost
+
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    q_pad = _pad_seq(q, block_q, 2)
+    k_pad = _pad_seq(k, block_k, 2)
+    v_pad = _pad_seq(v, block_k, 2)
+    do_pad = _pad_seq(do, block_q, 2)
+    lse_pad = _pad_seq(lse, block_q, 2)
+    padded_sq = q_pad.shape[2]
+    if padded_sq != seq_q:
+        pad_rows = jnp.arange(padded_sq) >= seq_q
+        lse_pad = jnp.where(pad_rows[None, None, :], -DEFAULT_MASK_VALUE, lse_pad)
+    delta_pad = _pad_seq(delta, block_q, 2)
+    lse_b = jnp.broadcast_to(lse_pad[..., None], (*lse_pad.shape, _LANES))
+    delta_b = jnp.broadcast_to(delta_pad[..., None], (*delta_pad.shape, _LANES))
+    bias_pad = _pad_seq(_pad_seq(bias, block_k, 3), block_q, 2)
+    padded_sk = k_pad.shape[2]
+    nq, nk = padded_sq // block_q, padded_sk // block_k
+
+    if b_inner:
+        grid = (nq, nk, num_heads, batch)
+
+        def bsel(qi, ki, d3, d4):
+            return d4
+
+        def hsel(qi, ki, d3, d4):
+            return d3
+    else:
+        grid = (nq, nk, batch, num_heads)
+
+        def bsel(qi, ki, d3, d4):
+            return d3
+
+        def hsel(qi, ki, d3, d4):
+            return d4
+
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, head_dim),
+        lambda *i: (bsel(*i), hsel(*i), i[0], 0),
+    )
+    kv_spec = pl.BlockSpec(
+        (1, 1, block_k, head_dim),
+        lambda *i: (bsel(*i), hsel(*i) // group, i[1], 0),
+    )
+    row_spec = pl.BlockSpec(
+        (1, 1, block_q, _LANES),
+        lambda *i: (bsel(*i), hsel(*i), i[0], 0),
+    )
+    bias_spec = pl.BlockSpec(
+        (1, 1, block_q, block_k),
+        lambda *i: (
+            0 if sum_b else bsel(*i),
+            0 if sum_h else hsel(*i),
+            i[0],
+            i[1],
+        ),
+    )
+
+    dbias = pl.pallas_call(
+        functools.partial(
+            _dbias_kernel,
+            scale=scale, causal=causal, window=window,
+            block_q=block_q, block_k=block_k,
+            seq_q=seq_q, seq_k=seq_k,
+            b_inner=b_inner, sum_b=sum_b, sum_h=sum_h,
+            nb=batch, nh=num_heads,
+        ),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec,
+                  bias_spec],
+        out_specs=bias_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (bb, bh, padded_sq, padded_sk), jnp.float32
+        ),
+        scratch_shapes=[pltpu.VMEM((block_q, block_k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_pad, k_pad, v_pad, do_pad, lse_b, delta_b, bias_pad)
+
+    return dbias[:, :, :seq_q, :seq_k]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "window", "scale", "block_sizes", "interpret"),
@@ -296,8 +487,11 @@ def flash_attention_backward(
             bias = bias[None, None]
         elif bias.ndim == 3:
             bias = bias[:, None]
-        bias = _pad_seq(_pad_seq(bias, block_k, 3), block_q, 2)
-        bias_meta = (bias.shape[0], bias.shape[1], bias.shape[2] == 1)
+        bq_bcast = bias.shape[2] == 1  # decide BEFORE padding grows the dim
+        bias = _pad_seq(bias, block_k, 3)
+        if not bq_bcast:
+            bias = _pad_seq(bias, block_q, 2)
+        bias_meta = (bias.shape[0], bias.shape[1], bq_bcast)
 
     def specs(order):
         """order: 'qk' for dQ kernel (qi, ki), 'kq' for dK/dV kernel."""

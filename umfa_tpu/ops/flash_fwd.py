@@ -336,8 +336,10 @@ def flash_attention_forward(
         bb, bh = bias.shape[0], bias.shape[1]
         assert bb in (1, batch) and bh in (1, num_heads), bias.shape
         assert bias.shape[2] in (1, seq_q) and bias.shape[3] == seq_k, bias.shape
-        bias = _pad_seq(_pad_seq(bias, block_k, 3), block_q, 2)
-        bq_bcast = bias.shape[2] == 1
+        bq_bcast = bias.shape[2] == 1  # decide BEFORE padding grows the dim
+        bias = _pad_seq(bias, block_k, 3)
+        if not bq_bcast:
+            bias = _pad_seq(bias, block_q, 2)
         bias_spec = pl.BlockSpec(
             (1, 1, 1 if bq_bcast else block_q, block_k),
             lambda b, h, qi, ki, bb=bb, bh=bh, bq=bq_bcast: (

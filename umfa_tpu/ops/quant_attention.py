@@ -335,8 +335,10 @@ def quantized_attention_forward(
         while bias.ndim < 4:
             bias = bias[None]
         bb, bh = bias.shape[0], bias.shape[1]
-        bias = _pad_seq(_pad_seq(bias, block_k, 3), block_q, 2)
-        bq_bcast = bias.shape[2] == 1
+        bq_bcast = bias.shape[2] == 1  # decide BEFORE padding grows the dim
+        bias = _pad_seq(bias, block_k, 3)
+        if not bq_bcast:
+            bias = _pad_seq(bias, block_q, 2)
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, 1 if bq_bcast else block_q, block_k),
@@ -464,8 +466,12 @@ def _quantize_operands(q, k, v, config: QuantizationConfig):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _qflash(key: _QAttnKey, q, k, v, bias):
-    out, _ = _qflash_fwd(key, q, k, v, bias)
-    return out
+    """Differentiable quantized attention returning (out, lse). LSE is
+    merge-grade only when config.smooth is False — smoothing shifts LSE by a
+    per-chunk constant, which is softmax-invariant locally but breaks
+    cross-chunk online-softmax merges (ring attention disables smoothing)."""
+    (out, lse), _ = _qflash_fwd(key, q, k, v, bias)
+    return out, lse
 
 
 def _qflash_fwd(key: _QAttnKey, q, k, v, bias):
@@ -484,11 +490,12 @@ def _qflash_fwd(key: _QAttnKey, q, k, v, bias):
         out = (out.astype(jnp.float32) + vm_q).astype(out.dtype)
     # Residuals stay quantized — the training-memory saving
     # (reference: 25-40%, README.md:100).
-    return out, (qt_q, qt_k, qt_v, qm, vm, bias, out, lse)
+    return (out, lse), (qt_q, qt_k, qt_v, qm, vm, bias, out, lse)
 
 
 def _qflash_bwd(key: _QAttnKey, residuals, g):
     qt_q, qt_k, qt_v, qm, vm, bias, out, lse = residuals
+    g, g_lse = g
     # Deterministic re-dequantization (reference:
     # MFABridge+Quantized.swift:425-440) + dense FP32 backward = STE.
     # Consistency contract with the forward: the forward's scores were
@@ -504,7 +511,7 @@ def _qflash_bwd(key: _QAttnKey, residuals, g):
         v_dq = v_dq + vm
     dq, dk, dv = flash_attention_backward(
         q_dq, k_dq, v_dq, out.astype(jnp.float32), lse, g.astype(jnp.float32),
-        bias,
+        bias, g_lse,
         causal=key.causal, window=key.window, scale=key.scale,
         block_sizes=key.block_sizes, interpret=key.interpret,
     )
@@ -562,7 +569,7 @@ def quantized_flash_attention(
         out_dtype=jnp.dtype(out_dtype).name if out_dtype else None,
         interpret=interpret,
     )
+    out, lse = _qflash(key, q, k, v, bias)
     if return_lse:
-        out, residuals = _qflash_fwd(key, q, k, v, bias)
-        return out, residuals[-1]
-    return _qflash(key, q, k, v, bias)
+        return out, lse
+    return out

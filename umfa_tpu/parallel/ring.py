@@ -53,12 +53,16 @@ def ring_flash_attention(
     scale: Optional[float] = None,
     block_sizes: BlockSizes = BlockSizes(),
     interpret: bool = False,
+    local_attention=None,
 ):
     """Flash attention over a sequence sharded along `axis_name`.
 
     Must be called inside shard_map with q/k/v sequence dims sharded into
     contiguous, axis-ordered chunks: device i holds tokens
     [i*S_loc, (i+1)*S_loc). Returns the local output shard (B, H, S_loc, D).
+
+    `local_attention(q, k, v, bias) -> (out, lse)` overrides the per-step
+    kernel (e.g. the quantized fused kernel for a quantized ring).
     """
     n = jax.lax.axis_size(axis_name)
     my_idx = jax.lax.axis_index(axis_name)
@@ -95,13 +99,16 @@ def ring_flash_attention(
             )[None, None]
         else:
             step_bias = None
-        o_step, lse_step = flash_attention(
-            q, kc, vc, step_bias,
-            scale=scale,
-            block_sizes=block_sizes,
-            interpret=interpret,
-            return_lse=True,
-        )
+        if local_attention is not None:
+            o_step, lse_step = local_attention(q, kc, vc, step_bias)
+        else:
+            o_step, lse_step = flash_attention(
+                q, kc, vc, step_bias,
+                scale=scale,
+                block_sizes=block_sizes,
+                interpret=interpret,
+                return_lse=True,
+            )
         o, lse = merge_partials(o, lse, o_step, lse_step)
         if step != n - 1:
             kv = jax.lax.ppermute(kv, axis_name, perm)

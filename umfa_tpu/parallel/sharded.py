@@ -47,20 +47,38 @@ def sharded_attention(
     kv_spec = P(data_axis, head_axis, seq_axis, None)
 
     def _local(q, k, v):
-        if quantization is not None and quantization.q_precision.is_integer:
+        quantized = quantization is not None and quantization.q_precision.is_integer
+        if quantized and seq_axis is None:
             from umfa_tpu.ops.quant_attention import quantized_flash_attention
 
-            assert seq_axis is None, (
-                "quantized ring attention lands in a later revision"
-            )
             return quantized_flash_attention(
                 q, k, v, config=quantization, causal=causal, scale=scale,
                 block_sizes=block_sizes, interpret=interpret,
             )
         if seq_axis is not None:
+            local_attention = None
+            if quantized:
+                import dataclasses
+
+                from umfa_tpu.ops.quant_attention import (
+                    quantized_flash_attention,
+                )
+
+                # Smoothing shifts LSE by per-chunk constants — disable it so
+                # the ring's online-softmax merge stays exact.
+                qcfg = dataclasses.replace(quantization, smooth=False)
+
+                def local_attention(q, kc, vc, bias):
+                    return quantized_flash_attention(
+                        q, kc, vc, bias, config=qcfg, scale=scale,
+                        block_sizes=block_sizes, interpret=interpret,
+                        return_lse=True,
+                    )
+
             return ring_flash_attention(
                 q, k, v, axis_name=seq_axis, causal=causal, scale=scale,
                 block_sizes=block_sizes, interpret=interpret,
+                local_attention=local_attention,
             )
         return flash_attention(
             q, k, v, causal=causal, scale=scale,
