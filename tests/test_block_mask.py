@@ -1,0 +1,114 @@
+"""Block-sparse mask compilation (FlexAttention-style mask_mod)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import umfa_tpu
+from umfa_tpu.ops.attention import flash_attention, reference_attention
+from umfa_tpu.ops.block_mask import (
+    FULL,
+    PARTIAL,
+    SKIP,
+    causal_block_mask,
+    make_block_mask,
+    sliding_window_block_mask,
+)
+from umfa_tpu.ops.flash_fwd import BlockSizes
+from umfa_tpu.utils.testing import TOL, make_qkv
+
+BS = BlockSizes(block_q=128, block_k=128)
+
+
+def test_causal_block_map_structure():
+    bm = causal_block_mask(512, 512, block_sizes=BS)
+    m = np.asarray(bm.block_map)[0, 0]
+    assert m.shape == (4, 4)
+    assert (np.diag(m) == PARTIAL).all()
+    assert (m[np.triu_indices(4, 1)] == SKIP).all()
+    assert (m[np.tril_indices(4, -1)] == FULL).all()
+    assert float(bm.sparsity) == pytest.approx(6 / 16)
+
+
+def test_block_mask_matches_reference(rng):
+    q, k, v = make_qkv(rng, 1, 2, 256, 256, 64)
+    bm = causal_block_mask(256, 256, block_sizes=BS)
+    out = flash_attention(q, k, v, block_mask=bm, interpret=True)
+    want = reference_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])
+
+
+def test_mask_mod_through_public_api(rng):
+    # Document/segment mask: tokens attend within 64-token documents.
+    q, k, v = make_qkv(rng, 1, 2, 256, 256, 64)
+
+    def doc_mask(q_idx, k_idx):
+        return (q_idx // 64) == (k_idx // 64)
+
+    out = umfa_tpu.attention(q, k, v, doc_mask, interpret=True)
+    q_ids = np.arange(256)[:, None]
+    k_ids = np.arange(256)[None, :]
+    bias = jnp.where(
+        jnp.asarray((q_ids // 64) == (k_ids // 64)), 0.0, -1e30
+    ).astype(jnp.float32)
+    want = reference_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4, rtol=1e-4)
+
+
+def test_fully_aligned_doc_mask_has_no_bias():
+    # 128-aligned documents with 128 blocks: every tile is FULL or SKIP —
+    # no partial tiles, so no bias tensor is materialized at all.
+    bm = make_block_mask(
+        lambda q, kk: (q // 128) == (kk // 128), 512, 512, block_sizes=BS
+    )
+    assert bm.bias is None
+    m = np.asarray(bm.block_map)[0, 0]
+    assert (np.diag(m) == FULL).all()
+    assert (m[~np.eye(4, dtype=bool)] == SKIP).all()
+
+
+def test_block_mask_grads(rng):
+    q, k, v = make_qkv(rng, 1, 2, 256, 256, 64)
+    bm = sliding_window_block_mask(256, 256, 64, 0, block_sizes=BS)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, block_mask=bm, interpret=True) ** 2
+        )
+
+    def ref_loss(q, k, v):
+        return jnp.sum(
+            reference_attention(q, k, v, window=(64, 0)) ** 2
+        )
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_per_head_block_mask(rng):
+    # Different pattern per head (e.g. local/global heads).
+    q, k, v = make_qkv(rng, 1, 2, 256, 256, 64)
+    q_ids = np.arange(256)[:, None]
+    k_ids = np.arange(256)[None, :]
+    local = (np.abs(q_ids - k_ids) <= 32)
+    full = np.ones_like(local)
+    mask = jnp.asarray(np.stack([local, full])[None])  # (1, 2, S, S)
+    bm = make_block_mask(mask, 256, 256, block_sizes=BS)
+    assert bm.block_map.shape[1] == 2
+    out = flash_attention(q, k, v, block_mask=bm, interpret=True)
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+    want = reference_attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4, rtol=1e-4)
+
+
+def test_ragged_seq_block_mask(rng):
+    q, k, v = make_qkv(rng, 1, 1, 200, 200, 64)
+    bm = causal_block_mask(200, 200, block_sizes=BS)
+    out = flash_attention(q, k, v, block_mask=bm, interpret=True)
+    want = reference_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(out, want, **TOL["fp32"])

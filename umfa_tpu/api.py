@@ -107,11 +107,14 @@ def attention(
     is_causal: bool = False,
     scale: Optional[float] = None,
     window: Optional[tuple] = None,
+    dropout_p: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
     quantization: Optional[QuantizationConfig] = None,
     block_sizes: BlockSizes = BlockSizes(),
     out_dtype=None,
     interpret: bool = False,
     return_lse: bool = False,
+    bias_grad: bool = False,
 ):
     """Drop-in SDPA-shaped fused attention.
 
@@ -127,6 +130,20 @@ def attention(
     seq_k = k4.shape[2]
 
     interpret = interpret or cfg.FORCE_INTERPRET
+
+    # FlexAttention-style masks: a mask_mod callable or a precompiled
+    # BlockMask compiles to per-tile skip/partial structure.
+    from umfa_tpu.ops.block_mask import BlockMask, make_block_mask
+
+    block_mask = None
+    if isinstance(mask, BlockMask):
+        block_mask = mask
+        mask = None
+    elif callable(mask):
+        block_mask = make_block_mask(
+            mask, seq_q, seq_k, head_dim=head_dim, block_sizes=block_sizes
+        )
+        mask = None
 
     # All-True bool mask elision (reference: metal_sdpa_backend.cpp:1767-1784).
     if mask is not None and masks_lib.is_all_true(mask):
@@ -147,6 +164,20 @@ def attention(
         interpret=interpret,
     )
 
+    if dropout_p > 0.0:
+        # Attention dropout is not fused (the reference routes dropout to
+        # the framework-native fallback too: metal_sdpa_backend.cpp
+        # eligibility checks). Naive path with explicit PRNG.
+        if dropout_key is None:
+            raise ValueError("dropout_p > 0 requires dropout_key")
+        record_dispatch("naive_fallback")
+        out = _dropout_attention(
+            q4, k4, v4, bias, is_causal, window, scale, dropout_p, dropout_key
+        )
+        for _ in range(added):
+            out = out[0]
+        return out
+
     if cfg.DISABLE_FUSED:
         record_dispatch("naive_fallback")
         out = reference_attention(
@@ -156,10 +187,17 @@ def attention(
         from umfa_tpu.ops.quant_attention import quantized_flash_attention
 
         record_dispatch("quantized_autograd")
+        if block_mask is not None:
+            # Quantized kernel takes the compiled mask's bias (tile-skip
+            # structure lands there in a later revision).
+            route_args["bias"] = block_mask.bias
         out = quantized_flash_attention(q4, k4, v4, config=quant, **route_args)
     elif return_lse:
         record_dispatch("fused_fwd")
-        out, lse = flash_attention(q4, k4, v4, return_lse=True, **route_args)
+        out, lse = flash_attention(
+            q4, k4, v4, return_lse=True, bias_grad=bias_grad,
+            block_mask=block_mask, **route_args
+        )
         for _ in range(added):
             out = out[0]
             lse = lse[0]
@@ -168,13 +206,47 @@ def attention(
         return out, lse
     else:
         record_dispatch("fused_autograd")
-        out = flash_attention(q4, k4, v4, **route_args)
+        out = flash_attention(
+            q4, k4, v4, bias_grad=bias_grad, block_mask=block_mask,
+            **route_args
+        )
 
     for _ in range(added):
         out = out[0]
     if cfg.NAN_CHECK:
         _nan_check(out)
     return out
+
+
+def _dropout_attention(q, k, v, bias, causal, window, scale, p, key):
+    """Naive attention with probability dropout (fallback route)."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
+    sq, sk = q.shape[2], k.shape[2]
+    q_ids = jnp.arange(sq)[:, None]
+    k_ids = jnp.arange(sk)[None, :]
+    vis = jnp.ones((sq, sk), bool)
+    if causal:
+        vis &= k_ids <= q_ids
+    if window is not None:
+        left, right = window
+        if left >= 0:
+            vis &= k_ids >= q_ids - left
+        if right >= 0:
+            vis &= k_ids <= q_ids + right
+    s = jnp.where(vis[None, None], s, -1e30)
+    probs = jax.nn.softmax(s, axis=-1)
+    keep = jax.random.bernoulli(key, 1.0 - p, probs.shape)
+    probs = jnp.where(keep, probs / (1.0 - p), 0.0)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v.astype(jnp.float32)
+    ).astype(q.dtype)
 
 
 def attention_with_lse(q, k, v, mask=None, **kwargs):

@@ -38,14 +38,15 @@ class AttnConfig:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _flash(config: AttnConfig, q, k, v, bias):
+def _flash(config: AttnConfig, q, k, v, bias, block_map):
     """Differentiable fused attention returning (out, lse).
 
     LSE is a first-class differentiable output (the ring-attention merge
     consumes it): its cotangent folds exactly into the backward's D statistic
-    (flash_bwd.flash_attention_backward, `dlse`)."""
+    (flash_bwd.flash_attention_backward, `dlse`). `block_map` is a compiled
+    block-sparse structure (ops/block_mask.py) or None."""
     return flash_attention_forward(
-        q, k, v, bias,
+        q, k, v, bias, block_map,
         causal=config.causal,
         window=config.window,
         scale=config.scale,
@@ -55,16 +56,16 @@ def _flash(config: AttnConfig, q, k, v, bias):
     )
 
 
-def _flash_fwd(config, q, k, v, bias):
-    out, lse = _flash(config, q, k, v, bias)
-    return (out, lse), (q, k, v, bias, out, lse)
+def _flash_fwd(config, q, k, v, bias, block_map):
+    out, lse = _flash(config, q, k, v, bias, block_map)
+    return (out, lse), (q, k, v, bias, block_map, out, lse)
 
 
 def _flash_bwd(config, residuals, g):
-    q, k, v, bias, out, lse = residuals
+    q, k, v, bias, block_map, out, lse = residuals
     g_out, g_lse = g
     dq, dk, dv = flash_attention_backward(
-        q, k, v, out, lse, g_out, bias, g_lse,
+        q, k, v, out, lse, g_out, bias, g_lse, block_map,
         causal=config.causal,
         window=config.window,
         scale=config.scale,
@@ -92,7 +93,9 @@ def _flash_bwd(config, residuals, g):
         dbias = dbias.reshape(bias.shape).astype(bias.dtype)
     else:
         dbias = jnp.zeros_like(bias)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias
+    dmap = None if block_map is None else jnp.zeros_like(block_map)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dbias, dmap)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -107,6 +110,7 @@ def flash_attention(
     causal: bool = False,
     window: Optional[tuple] = None,
     scale: Optional[float] = None,
+    block_mask=None,
     block_sizes: BlockSizes = BlockSizes(),
     out_dtype=None,
     interpret: bool = False,
@@ -117,11 +121,28 @@ def flash_attention(
 
     q: (B, Hq, Sq, D); k, v: (B, Hkv, Sk, D) with Hq % Hkv == 0 (GQA).
     bias: optional additive FP32 bias, broadcastable (leading dims may be 1).
+    block_mask: a compiled ops.block_mask.BlockMask — fully-masked tiles skip
+    all compute (FlexAttention-style block sparsity).
     bias_grad=True computes the real bias gradient (else zeros — see
     AttnConfig.bias_grad).
     Gradients are computed in FP32 and cast back to input dtypes (reference
     invariant: FP32 grads, metal_sdpa_backend.cpp:2800-2804).
     """
+    block_map = None
+    if block_mask is not None:
+        assert bias is None, "pass either bias or block_mask, not both"
+        bias = block_mask.bias
+        block_map = block_mask.block_map
+        # Forward AND backward tilings must match the compiled map.
+        block_sizes = dataclasses.replace(
+            block_sizes,
+            block_q=block_mask.block_q,
+            block_k=block_mask.block_k,
+            block_q_dq=block_mask.block_q,
+            block_k_dq=block_mask.block_k,
+            block_q_dkv=block_mask.block_q,
+            block_k_dkv=block_mask.block_k,
+        )
     config = AttnConfig(
         causal=causal,
         window=window,
@@ -131,7 +152,7 @@ def flash_attention(
         interpret=interpret,
         bias_grad=bias_grad,
     )
-    out, lse = _flash(config, q, k, v, bias)
+    out, lse = _flash(config, q, k, v, bias, block_map)
     if return_lse:
         # (out, lse) path — reference: mfa_attention_forward_with_lse
         # (MFABridge.swift:3071) — differentiable here.

@@ -1,0 +1,134 @@
+"""Block-sparse mask compilation (FlexAttention-style mask_mod).
+
+The reference materializes every mask into a dense FP32 [B,H,Sq,Skv] buffer
+(mfa_prepare_mask, MFABridge.swift:153-243) and claims superior performance
+vs FlexAttention (README.md:71). Here masks compile into per-tile structure
+(SURVEY.md §7.3 "compile masks to per-block skip/partial structure"):
+
+  * a (Bm, Hm, nq, nk) int32 block map — 0 = fully masked (the kernel skips
+    the tile's matmuls and softmax entirely), 1 = partial (tile bias
+    applied), 2 = fully visible (no bias read needed semantically; the bias
+    operand is still streamed for partial tiles);
+  * a canonical additive bias holding the intra-tile pattern, broadcast dims
+    kept at size 1.
+
+Construction happens once (it is O(Sq·Sk) like building the mask itself) and
+the result is a pytree that can be reused across calls/jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from umfa_tpu.ops.flash_fwd import (
+    DEFAULT_MASK_VALUE,
+    BlockSizes,
+    _choose_block,
+    _round_up,
+)
+
+SKIP, PARTIAL, FULL = 0, 1, 2
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BlockMask:
+    block_map: jax.Array            # (Bm, Hm, nq, nk) int32
+    bias: Optional[jax.Array]       # canonical additive FP32 bias or None
+    block_q: int
+    block_k: int
+    seq_q: int
+    seq_k: int
+
+    def tree_flatten(self):
+        return (self.block_map, self.bias), (
+            self.block_q, self.block_k, self.seq_q, self.seq_k,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def sparsity(self) -> jax.Array:
+        """Fraction of tiles skipped (observability)."""
+        return jnp.mean((self.block_map == SKIP).astype(jnp.float32))
+
+
+def make_block_mask(
+    mask: Union[Callable, jax.Array],
+    seq_q: int,
+    seq_k: int,
+    *,
+    head_dim: int = 64,
+    block_sizes: BlockSizes = BlockSizes(),
+) -> BlockMask:
+    """Compile a mask into block structure.
+
+    mask: either a mask_mod callable `(q_idx, k_idx) -> bool` (True=attend;
+    evaluated on broadcast index grids, FlexAttention-style) or a boolean
+    array broadcastable to (B, H, Sq, Sk).
+    """
+    block_q = _choose_block(block_sizes.block_q, seq_q, head_dim)
+    block_k = _choose_block(block_sizes.block_k, seq_k, head_dim)
+    if callable(mask):
+        q_ids = jnp.arange(seq_q)[:, None]
+        k_ids = jnp.arange(seq_k)[None, :]
+        bool_mask = jnp.asarray(mask(q_ids, k_ids), bool)[None, None]
+    else:
+        bool_mask = jnp.asarray(mask, bool)
+        while bool_mask.ndim < 4:
+            bool_mask = bool_mask[None]
+    bm, hm, sq, sk = bool_mask.shape
+    assert sq == seq_q and sk == seq_k, (bool_mask.shape, seq_q, seq_k)
+
+    pq = _round_up(seq_q, block_q)
+    pk = _round_up(seq_k, block_k)
+    padded = jnp.zeros((bm, hm, pq, pk), bool).at[:, :, :seq_q, :seq_k].set(
+        bool_mask
+    )
+    tiles = padded.reshape(bm, hm, pq // block_q, block_q, pk // block_k, block_k)
+    any_vis = jnp.any(tiles, axis=(3, 5))
+    # "Full" must ignore pad rows/cols: compare against the per-tile count of
+    # in-bounds entries.
+    q_in = (jnp.arange(pq) < seq_q).reshape(pq // block_q, block_q)
+    k_in = (jnp.arange(pk) < seq_k).reshape(pk // block_k, block_k)
+    in_bounds = (
+        q_in.sum(-1)[:, None] * k_in.sum(-1)[None, :]
+    )  # (nq, nk) in-bounds entry counts
+    vis_count = tiles.sum(axis=(3, 5))
+    all_vis = vis_count >= in_bounds[None, None]
+    block_map = jnp.where(
+        all_vis, FULL, jnp.where(any_vis, PARTIAL, SKIP)
+    ).astype(jnp.int32)
+
+    needs_bias = bool(jnp.any(block_map == PARTIAL))
+    bias = None
+    if needs_bias:
+        bias = jnp.where(bool_mask, 0.0, DEFAULT_MASK_VALUE).astype(jnp.float32)
+    return BlockMask(
+        block_map=block_map, bias=bias,
+        block_q=block_q, block_k=block_k, seq_q=seq_q, seq_k=seq_k,
+    )
+
+
+def causal_block_mask(seq_q: int, seq_k: int, **kwargs) -> BlockMask:
+    return make_block_mask(lambda q, k: k <= q, seq_q, seq_k, **kwargs)
+
+
+def sliding_window_block_mask(
+    seq_q: int, seq_k: int, left: int, right: int = 0, **kwargs
+) -> BlockMask:
+    def fn(q, k):
+        keep = jnp.full(jnp.broadcast_shapes(q.shape, k.shape), True)
+        if left >= 0:
+            keep = keep & (k >= q - left)
+        if right >= 0:
+            keep = keep & (k <= q + right)
+        return keep
+
+    return make_block_mask(fn, seq_q, seq_k, **kwargs)

@@ -74,14 +74,17 @@ def _dq_kernel(
     seq_k,
     num_k_blocks,
     has_bias,
+    has_map,
 ):
+    refs = list(refs)
+    (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref) = refs[:6]
+    idx = 6
+    bias_ref = map_ref = None
     if has_bias:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
-         dq_ref, dq_scr) = refs
-    else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-         dq_ref, dq_scr) = refs
-        bias_ref = None
+        bias_ref = refs[idx]; idx += 1
+    if has_map:
+        map_ref = refs[idx]; idx += 1
+    dq_ref, dq_scr = refs[idx:]
 
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -97,6 +100,13 @@ def _dq_kernel(
         block_q=block_q, block_k=block_k,
         causal=causal, window=window, seq_q=seq_q, seq_k=seq_k,
     )
+    if map_ref is not None:
+        typ = map_ref[
+            pl.program_id(0) if map_ref.shape[0] > 1 else 0,
+            pl.program_id(1) if map_ref.shape[1] > 1 else 0,
+            qi, ki,
+        ]
+        visible = jnp.logical_and(visible, typ > 0)
 
     @pl.when(visible)
     def _compute():
@@ -150,14 +160,17 @@ def _dkv_kernel(
     seq_k,
     num_q_blocks,
     has_bias,
+    has_map,
 ):
+    refs = list(refs)
+    (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref) = refs[:6]
+    idx = 6
+    bias_ref = map_ref = None
     if has_bias:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bias_ref,
-         dk_ref, dv_ref, dk_scr, dv_scr) = refs
-    else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-         dk_ref, dv_ref, dk_scr, dv_scr) = refs
-        bias_ref = None
+        bias_ref = refs[idx]; idx += 1
+    if has_map:
+        map_ref = refs[idx]; idx += 1
+    dk_ref, dv_ref, dk_scr, dv_scr = refs[idx:]
 
     ki = pl.program_id(2)
     qi = pl.program_id(3)
@@ -174,6 +187,13 @@ def _dkv_kernel(
         block_q=block_q, block_k=block_k,
         causal=causal, window=window, seq_q=seq_q, seq_k=seq_k,
     )
+    if map_ref is not None:
+        typ = map_ref[
+            pl.program_id(0) if map_ref.shape[0] > 1 else 0,
+            pl.program_id(1) if map_ref.shape[1] > 1 else 0,
+            qi, ki,
+        ]
+        visible = jnp.logical_and(visible, typ > 0)
 
     @pl.when(visible)
     def _compute():
@@ -429,6 +449,7 @@ def flash_attention_backward(
     do: jax.Array,
     bias: Optional[jax.Array] = None,
     dlse: Optional[jax.Array] = None,
+    block_map: Optional[jax.Array] = None,
     *,
     causal: bool = False,
     window: Optional[tuple] = None,
@@ -529,11 +550,25 @@ def flash_attention_backward(
                     ),
                 )
             )
+        if has_map:
+            ins.append(
+                pl.BlockSpec(
+                    block_map.shape,
+                    lambda b, h, i, j: (0, 0, 0, 0),
+                    memory_space=pltpu.SMEM,
+                )
+            )
         return ins
 
     common_args = [q_pad, k_pad, v_pad, do_pad, lse_b, delta_b]
     if has_bias:
         common_args.append(bias)
+    has_map = block_map is not None
+    if has_map:
+        assert block_map.shape[2] == num_q_blocks and (
+            block_map.shape[3] == num_k_blocks
+        ), (block_map.shape, num_q_blocks, num_k_blocks)
+        common_args.append(block_map)
 
     # ---- dQ pass ----
     dq = pl.pallas_call(
@@ -542,7 +577,7 @@ def flash_attention_backward(
             scale=scale, causal=causal, window=window,
             block_q=block_q, block_k=block_k,
             seq_q=seq_q, seq_k=seq_k,
-            num_k_blocks=num_k_blocks, has_bias=has_bias,
+            num_k_blocks=num_k_blocks, has_bias=has_bias, has_map=has_map,
         ),
         grid=(batch, num_heads, num_q_blocks, num_k_blocks),
         in_specs=specs("qk"),
@@ -566,7 +601,7 @@ def flash_attention_backward(
             scale=scale, causal=causal, window=window,
             block_q=block_q, block_k=block_k,
             seq_q=seq_q, seq_k=seq_k,
-            num_q_blocks=num_q_blocks, has_bias=has_bias,
+            num_q_blocks=num_q_blocks, has_bias=has_bias, has_map=has_map,
         ),
         grid=(batch, num_heads, num_k_blocks, num_q_blocks),
         in_specs=specs("kq"),

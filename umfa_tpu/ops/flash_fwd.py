@@ -138,13 +138,20 @@ def _fwd_kernel(
     seq_k: int,
     num_k_blocks: int,
     has_bias: bool,
+    has_map: bool,
     out_dtype,
 ):
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    idx = 3
+    bias_ref = map_ref = None
     if has_bias:
-        q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
-    else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
-        bias_ref = None
+        bias_ref = refs[idx]
+        idx += 1
+    if has_map:
+        map_ref = refs[idx]
+        idx += 1
+    o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[idx:]
 
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -167,6 +174,17 @@ def _fwd_kernel(
         seq_q=seq_q,
         seq_k=seq_k,
     )
+    if map_ref is not None:
+        # Compiled block-sparse structure: 0 = skip tile entirely.
+        b = pl.program_id(0)
+        h = pl.program_id(1)
+        typ = map_ref[
+            b if map_ref.shape[0] > 1 else 0,
+            h if map_ref.shape[1] > 1 else 0,
+            qi,
+            ki,
+        ]
+        visible = jnp.logical_and(visible, typ > 0)
 
     @pl.when(visible)
     def _compute():
@@ -268,6 +286,7 @@ def flash_attention_forward(
     k: jax.Array,
     v: jax.Array,
     bias: Optional[jax.Array] = None,
+    block_map: Optional[jax.Array] = None,
     *,
     causal: bool = False,
     window: Optional[tuple] = None,
@@ -305,6 +324,11 @@ def flash_attention_forward(
 
     block_q = _choose_block(block_sizes.block_q, seq_q, head_dim)
     block_k = _choose_block(block_sizes.block_k, seq_k, head_dim)
+    if (causal or window is not None) and block_map is None:
+        # Finer KV tiles let more fully-masked blocks skip (v5e: causal
+        # 2.05 → 1.83 ms at seq 4K moving 2048 → 1024). Skipped when a
+        # compiled BlockMask dictates the tiling.
+        block_k = min(block_k, 1024)
 
     q_pad = _pad_seq(q, block_q, 2)
     k_pad = _pad_seq(k, block_k, 2)
@@ -352,6 +376,24 @@ def flash_attention_forward(
         in_specs.append(bias_spec)
         args.append(bias)
 
+    has_map = block_map is not None
+    if has_map:
+        assert block_map.shape[2] == num_q_blocks and (
+            block_map.shape[3] == num_k_blocks
+        ), (
+            f"block_map tiled {block_map.shape[2:]} but kernel uses "
+            f"({num_q_blocks}, {num_k_blocks}) — build the BlockMask with "
+            "the same block sizes"
+        )
+        in_specs.append(
+            pl.BlockSpec(
+                block_map.shape,
+                lambda b, h, qi, ki: (0, 0, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        args.append(block_map)
+
     out_specs = [
         pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, qi, ki: (b, h, qi, 0)),
         pl.BlockSpec((1, 1, block_q, _LANES), lambda b, h, qi, ki: (b, h, qi, 0)),
@@ -372,6 +414,7 @@ def flash_attention_forward(
         seq_k=seq_k,
         num_k_blocks=num_k_blocks,
         has_bias=has_bias,
+        has_map=has_map,
         out_dtype=out_dtype,
     )
 
