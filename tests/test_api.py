@@ -86,6 +86,35 @@ def test_attention_with_lse(rng):
     assert np.isfinite(np.asarray(lse)).all()
 
 
+def test_numpy_inputs_accepted(rng):
+    # Reference parity: umfa.attention takes numpy arrays zero-copy
+    # (core.py:120-126); here numpy flows through jnp.asarray.
+    q = rng.normal(0, 1, (1, 2, 64, 64)).astype(np.float32)
+    k = rng.normal(0, 1, (1, 2, 64, 64)).astype(np.float32)
+    v = rng.normal(0, 1, (1, 2, 64, 64)).astype(np.float32)
+    out = umfa_tpu.attention(q, k, v, interpret=True)
+    want = reference_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(out), want, **TOL["fp32"])
+
+
+def test_dropout_route(rng):
+    import jax
+
+    q, k, v = make_qkv(rng, 1, 2, 64, 64, 64)
+    out = umfa_tpu.attention(
+        q, k, v, dropout_p=0.5, dropout_key=jax.random.PRNGKey(0),
+        interpret=True,
+    )
+    stats = get_dispatch_stats()
+    assert stats["naive_fallback"] == 1
+    # E[dropout attention] == attention; single sample just needs sanity.
+    assert np.isfinite(np.asarray(out)).all()
+    assert not np.allclose(np.asarray(out), np.asarray(
+        umfa_tpu.attention(q, k, v, interpret=True)))
+    with pytest.raises(ValueError):
+        umfa_tpu.attention(q, k, v, dropout_p=0.5, interpret=True)
+
+
 def test_explicit_quant_config_overrides_global(rng):
     from umfa_tpu.engine.config import Precision, QuantizationConfig
 

@@ -106,6 +106,31 @@ def test_per_head_block_mask(rng):
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-4, rtol=1e-4)
 
 
+def test_segment_ids_packing(rng):
+    # Two packed sequences per batch row + padding (-1).
+    from umfa_tpu.ops.block_mask import segment_block_mask
+
+    q, k, v = make_qkv(rng, 2, 2, 256, 256, 64)
+    seg = np.zeros((2, 256), np.int32)
+    seg[0, 100:200] = 1
+    seg[0, 200:] = -1       # padding
+    seg[1, 128:] = 1
+    bm = segment_block_mask(jnp.asarray(seg), causal=True, block_sizes=BS)
+    assert bm.block_map.shape[0] == 2
+    out = flash_attention(q, k, v, block_mask=bm, interpret=True)
+    mask = (seg[:, :, None] == seg[:, None, :]) & (seg[:, :, None] >= 0)
+    mask = mask & (np.arange(256)[None, None, :] <= np.arange(256)[None, :, None])
+    bias = jnp.where(jnp.asarray(mask[:, None]), 0.0, -1e30).astype(jnp.float32)
+    want = np.asarray(reference_attention(q, k, v, bias))
+    got = np.asarray(out)
+    # Padded rows are fully masked (undefined); compare visible rows only.
+    valid = (seg >= 0)
+    np.testing.assert_allclose(
+        got[0][:, valid[0]], want[0][:, valid[0]], atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(got[1], want[1], atol=1e-4, rtol=1e-4)
+
+
 def test_ragged_seq_block_mask(rng):
     q, k, v = make_qkv(rng, 1, 1, 200, 200, 64)
     bm = causal_block_mask(200, 200, block_sizes=BS)

@@ -90,12 +90,19 @@ def use_quantization(
 
 def _ensure_4d(x):
     """2-D/3-D → 4-D BHSD promotion (reference: metal_sdpa_backend.cpp:
-    1667-1683)."""
+    1667-1683). Accepts numpy arrays (zero-copy where the backend allows —
+    the role of the reference's bytesNoCopy numpy path, core.py:120-126)."""
+    x = jnp.asarray(x)
     added = 0
     while x.ndim < 4:
         x = x[None]
         added += 1
     return x, added
+
+
+def _debug(msg: str) -> None:
+    if cfg.DEBUG:
+        print(f"[umfa_tpu] {msg}")
 
 
 def attention(
@@ -178,6 +185,11 @@ def attention(
             out = out[0]
         return out
 
+    _debug(
+        f"attention B={batch} H={num_heads} Sq={seq_q} Sk={seq_k} D={head_dim} "
+        f"causal={is_causal} window={window} quant={quant is not None} "
+        f"block_mask={block_mask is not None} bias={bias is not None}"
+    )
     if cfg.DISABLE_FUSED:
         record_dispatch("naive_fallback")
         out = reference_attention(

@@ -120,6 +120,27 @@ def causal_block_mask(seq_q: int, seq_k: int, **kwargs) -> BlockMask:
     return make_block_mask(lambda q, k: k <= q, seq_q, seq_k, **kwargs)
 
 
+def segment_block_mask(
+    segment_ids_q: jax.Array,
+    segment_ids_k: Optional[jax.Array] = None,
+    *,
+    causal: bool = False,
+    **kwargs,
+) -> BlockMask:
+    """Packed-sequence (segment-id) masking: tokens attend only within their
+    segment. segment_ids_q: (B, Sq) int; negative ids never attend (padding).
+    Produces a per-batch block map (B, 1, nq, nk)."""
+    if segment_ids_k is None:
+        segment_ids_k = segment_ids_q
+    seg_q = jnp.asarray(segment_ids_q)
+    seg_k = jnp.asarray(segment_ids_k)
+    mask = (seg_q[:, :, None] == seg_k[:, None, :]) & (seg_q[:, :, None] >= 0)
+    if causal:
+        sq, sk = seg_q.shape[1], seg_k.shape[1]
+        mask = mask & (jnp.arange(sk)[None, None, :] <= jnp.arange(sq)[None, :, None])
+    return make_block_mask(mask[:, None], seg_q.shape[1], seg_k.shape[1], **kwargs)
+
+
 def sliding_window_block_mask(
     seq_q: int, seq_k: int, left: int, right: int = 0, **kwargs
 ) -> BlockMask:

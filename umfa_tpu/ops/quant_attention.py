@@ -152,12 +152,14 @@ def _quant_fwd_kernel(
             krs = krs_ref[0, 0].astype(jnp.float32)
             # Σ(qq - zq)(qk - zk) = dot - zq·rowsum(k) - zk·rowsum(q) + D·zq·zk
             s = s - qzp * krs - kzp * qrs + head_dim * qzp * kzp
-        s = s * (sq * sk_row)
+        # The softmax scale is pre-folded into sq (and corr) host-side, and
+        # the per-row/per-col scales apply as two broadcast multiplies — no
+        # (block_q, block_k) scale outer product is materialized.
+        s = (s * sq) * sk_row
         if corr_ref is not None:
-            # Q-mean smoothing compensation: + qm·K'^T (SageAttention2-style,
-            # exact — see _quantize_operands).
+            # Q-mean smoothing compensation: + qm·K'^T · scale
+            # (SageAttention2-style, exact — see _quantize_operands).
             s = s + corr_ref[0, 0]
-        s = s * scale
 
         if bias_ref is not None:
             s = s + bias_ref[0, 0].astype(jnp.float32)
@@ -271,7 +273,10 @@ def quantized_attention_forward(
     def pad_stat(x, block, axis):
         return _pad_seq(x, block, axis) if x.shape[axis] > 1 else x
 
-    q_scales = pad_stat(qt_q.scales, block_q, 2)            # (B,H,Sq|1,1)
+    # Softmax scale folded into the Q scales (one fewer full-tile multiply
+    # in-kernel; the asymmetric zero-point corrections happen pre-scaling so
+    # they are unaffected).
+    q_scales = pad_stat(qt_q.scales * scale, block_q, 2)     # (B,H,Sq|1,1)
     k_scales = pad_stat(_row_stat(qt_k.scales), block_k, 3)  # (B,H,1,Sk|1)
     v_scales = pad_stat(_row_stat(qt_v.scales), block_k, 3)
 
@@ -324,7 +329,8 @@ def quantized_attention_forward(
     has_corr = score_corr is not None
     if has_corr:
         # (B, Hq, 1, Sk) — q-side heads, so index by h (not h // group).
-        corr = _pad_seq(score_corr.astype(jnp.float32), block_k, 3)
+        # Pre-scaled: the kernel adds it after the (scale-folded) q/k scales.
+        corr = _pad_seq((score_corr * scale).astype(jnp.float32), block_k, 3)
         in_specs.append(
             pl.BlockSpec((1, 1, 1, block_k), lambda b, h, i, j: (b, h, 0, j))
         )
