@@ -210,11 +210,13 @@ def attention(
             q4, k4, v4, return_lse=True, bias_grad=bias_grad,
             block_mask=block_mask, **route_args
         )
+        if cfg.NAN_CHECK:
+            out = _nan_check_or_recompute(
+                out, q4, k4, v4, bias, is_causal, window, scale
+            )
         for _ in range(added):
             out = out[0]
             lse = lse[0]
-        if cfg.NAN_CHECK:
-            _nan_check(out)
         return out, lse
     else:
         record_dispatch("fused_autograd")
@@ -223,10 +225,12 @@ def attention(
             **route_args
         )
 
+    if cfg.NAN_CHECK:
+        out = _nan_check_or_recompute(
+            out, q4, k4, v4, bias, is_causal, window, scale
+        )
     for _ in range(added):
         out = out[0]
-    if cfg.NAN_CHECK:
-        _nan_check(out)
     return out
 
 
@@ -267,10 +271,16 @@ def attention_with_lse(q, k, v, mask=None, **kwargs):
     return attention(q, k, v, mask, return_lse=True, **kwargs)
 
 
-def _nan_check(out):
-    """UMFA_NAN_CHECK=1 post-hoc NaN scan (reference: MFA_NAN_CHECK,
+def _nan_check_or_recompute(out, q4, k4, v4, bias, is_causal, window, scale):
+    """UMFA_NAN_CHECK=1 post-hoc NaN scan with fallback recompute
+    (reference: MFA_NAN_CHECK recomputes via native SDPA,
     metal_sdpa_backend.cpp:1864-1880). Concrete arrays only."""
     if isinstance(out, jax.core.Tracer):
-        return
+        return out
     if bool(jnp.any(jnp.isnan(out))):
-        raise FloatingPointError("umfa_tpu: NaN detected in attention output")
+        record_dispatch("naive_fallback")
+        _debug("NaN detected — recomputing via the naive reference path")
+        return reference_attention(
+            q4, k4, v4, bias, causal=is_causal, window=window, scale=scale
+        ).astype(out.dtype)
+    return out

@@ -30,7 +30,10 @@ def _looped(op: Callable, iters: int):
         def body(i, carry):
             acc, qq = carry
             out = op(qq, *args[1:])
-            s = jnp.sum(out[..., 0, :1]).astype(jnp.float32)
+            # Consume the FULL output: summing a slice lets XLA dead-code-
+            # eliminate the unconsumed rows of transparent (non-pallas) ops —
+            # an 8192³ matmul "ran" 16× faster than the chip peak before this.
+            s = jnp.sum(out.astype(jnp.float32))
             acc = acc + s
             # Chain a negligible perturbation into the next iteration's input
             # to serialize iterations and defeat loop-invariant hoisting.
