@@ -24,6 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from umfa_tpu.ops.flash_fwd import (
     DEFAULT_MASK_VALUE,
+    ELIDE_SKIPPED_DMA,
     BlockSizes,
     _block_visible,
     _intra_block_mask,
@@ -514,16 +515,54 @@ def flash_attention_backward(
             bias = _pad_seq(bias, block_q, 2)
         bias_meta = (bias.shape[0], bias.shape[1], bq_bcast)
 
+    def clamp_ki(qi, ki):
+        """Clamp a KV block index into q-block qi's visible range so
+        out-of-range grid steps reuse their neighbour's block and Pallas
+        elides the DMA (see flash_fwd)."""
+        if not ELIDE_SKIPPED_DMA:
+            return ki
+        if causal:
+            ki = jnp.minimum(ki, (qi * block_q + block_q - 1) // block_k)
+        if window is not None:
+            left, right = window
+            if left >= 0:
+                ki = jnp.maximum(ki, jnp.maximum(qi * block_q - left, 0) // block_k)
+            if right >= 0:
+                ki = jnp.minimum(
+                    ki, (qi * block_q + block_q - 1 + right) // block_k
+                )
+        return ki
+
+    def clamp_qi(ki, qi):
+        """Clamp a Q block index into kv-block ki's visible range."""
+        if not ELIDE_SKIPPED_DMA:
+            return qi
+        if causal:
+            qi = jnp.maximum(qi, (ki * block_k) // block_q)
+        if window is not None:
+            left, right = window
+            if left >= 0:
+                qi = jnp.minimum(
+                    qi, (ki * block_k + block_k - 1 + left) // block_q
+                )
+            if right >= 0:
+                qi = jnp.maximum(
+                    qi, jnp.maximum(ki * block_k - right, 0) // block_q
+                )
+        return qi
+
     def specs(order):
-        """order: 'qk' for dQ kernel (qi, ki), 'kq' for dK/dV kernel."""
+        """order: 'qk' for dQ kernel (qi, ki), 'kq' for dK/dV kernel.
+        The inner-loop operand indices are clamped into the outer block's
+        visible range (DMA elision for skipped tiles)."""
         if order == "qk":
             def qix(b, h, i, j):
                 return i
             def kix(b, h, i, j):
-                return j
+                return clamp_ki(i, j)
         else:
             def qix(b, h, i, j):
-                return j
+                return clamp_qi(i, j)
             def kix(b, h, i, j):
                 return i
         q_spec = pl.BlockSpec(

@@ -42,6 +42,15 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_MASK_VALUE = -1e30
 _LANES = 128
 
+# Remap skipped causal/window tiles onto their neighbour's block index so
+# Pallas elides the DMA. A/B-able: dynamic index maps can also inhibit
+# Mosaic's prefetch pipelining (v5e measurements were within noise).
+import os as _os
+
+ELIDE_SKIPPED_DMA = _os.environ.get("UMFA_ELIDE_SKIPPED_DMA", "1") not in (
+    "0", "false",
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class BlockSizes:
@@ -353,12 +362,32 @@ def flash_attention_forward(
 
     grid = (batch, num_heads, num_q_blocks, num_k_blocks)
 
+    def clamp_ki(qi, ki):
+        """Clamp the KV block index into this q-block's visible range.
+        Out-of-range steps then map to the same block as their neighbour, so
+        Pallas elides the DMA — skipped tiles cost neither compute (pl.when)
+        nor bandwidth."""
+        if not ELIDE_SKIPPED_DMA:
+            return ki
+        if causal:
+            last_vis = (qi * block_q + block_q - 1) // block_k
+            ki = jnp.minimum(ki, last_vis)
+        if window is not None:
+            left, right = window
+            if left >= 0:
+                first_vis = jnp.maximum(qi * block_q - left, 0) // block_k
+                ki = jnp.maximum(ki, first_vis)
+            if right >= 0:
+                last_vis = (qi * block_q + block_q - 1 + right) // block_k
+                ki = jnp.minimum(ki, jnp.maximum(last_vis, 0))
+        return ki
+
     q_spec = pl.BlockSpec(
         (1, 1, block_q, head_dim), lambda b, h, qi, ki: (b, h, qi, 0)
     )
     kv_spec = pl.BlockSpec(
         (1, 1, block_k, head_dim),
-        lambda b, h, qi, ki, group=group: (b, h // group, ki, 0),
+        lambda b, h, qi, ki, group=group: (b, h // group, clamp_ki(qi, ki), 0),
     )
     in_specs = [q_spec, kv_spec, kv_spec]
     args = [q_pad, k_pad, v_pad]
@@ -383,7 +412,7 @@ def flash_attention_forward(
                 b if bb > 1 else 0,
                 h if bh > 1 else 0,
                 0 if bq else qi,
-                ki,
+                clamp_ki(qi, ki),
             ),
         )
         in_specs.append(bias_spec)
