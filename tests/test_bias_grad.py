@@ -55,6 +55,28 @@ def test_dbias_q_broadcast(rng):
     _dbias((1, 4, 1, 128), rng)
 
 
+def test_dbias_quantized_path(rng):
+    from umfa_tpu.engine.config import QuantizationConfig
+    from umfa_tpu.ops.quant_attention import quantized_flash_attention
+    from umfa_tpu.utils.testing import cosine
+
+    q, k, v = make_qkv(rng, 1, 2, 128, 128, 64)
+    bias = jnp.asarray(rng.normal(0, 0.5, (1, 1, 128, 128)), jnp.float32)
+
+    got = jax.grad(
+        lambda b: jnp.sum(
+            quantized_flash_attention(
+                q, k, v, b, config=QuantizationConfig(), bias_grad=True,
+                interpret=True,
+            ) ** 2
+        )
+    )(bias)
+    want = jax.grad(
+        lambda b: jnp.sum(reference_attention(q, k, v, b) ** 2)
+    )(bias)
+    assert cosine(got, want) > 0.99
+
+
 def test_dbias_off_by_default(rng):
     q, k, v = make_qkv(rng, 1, 2, 64, 64, 64)
     bias = jnp.asarray(rng.normal(0, 0.5, (1, 1, 64, 64)), jnp.float32)

@@ -48,6 +48,31 @@ def test_decode_chunked_causal(rng):
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-4, rtol=1e-4)
 
 
+def test_decode_large_chunk_fused_path(rng):
+    # Tq > 16 routes to the fused kernel (prefill continuation).
+    q_full, k_full, v_full = make_qkv(rng, 1, 2, 64, 64, 64)
+    cache = init_cache(1, 2, 128, 64, jnp.float32)
+    cache = append(cache, k_full, v_full)
+    q_new = q_full[:, :, 32:]  # 32 queries
+    out = decode_attention(q_new, cache, interpret=True)
+    want = reference_attention(q_full, k_full, v_full, causal=True)[:, :, 32:]
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4, rtol=1e-4)
+
+
+def test_decode_quantized_large_chunk(rng):
+    from umfa_tpu.serving.kv_cache import append_quantized
+
+    q_full, k_full, v_full = make_qkv(rng, 1, 2, 64, 64, 64)
+    qcache = init_quantized_cache(1, 2, 128, 64)
+    qcache = append_quantized(qcache, k_full, v_full)
+    out = decode_attention(q_full[:, :, 32:], qcache, interpret=True)
+    want = np.asarray(
+        reference_attention(q_full, k_full, v_full, causal=True)[:, :, 32:]
+    )
+    err = np.linalg.norm(np.asarray(out, np.float32) - want) / np.linalg.norm(want)
+    assert err < 0.05
+
+
 def test_decode_ragged_lengths(rng):
     # Different fill lengths per batch element.
     cache = init_cache(2, 2, 64, 64, jnp.float32)

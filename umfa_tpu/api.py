@@ -203,7 +203,9 @@ def attention(
             # Quantized kernel takes the compiled mask's bias (tile-skip
             # structure lands there in a later revision).
             route_args["bias"] = block_mask.bias
-        out = quantized_flash_attention(q4, k4, v4, config=quant, **route_args)
+        out = quantized_flash_attention(
+            q4, k4, v4, config=quant, bias_grad=bias_grad, **route_args
+        )
     elif return_lse:
         record_dispatch("fused_fwd")
         out, lse = flash_attention(

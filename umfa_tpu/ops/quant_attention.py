@@ -416,6 +416,7 @@ class _QAttnKey:
     block_sizes: BlockSizes
     out_dtype: Optional[str]
     interpret: bool
+    bias_grad: bool = False
 
 
 def _quantize_operands(q, k, v, config: QuantizationConfig):
@@ -528,7 +529,30 @@ def _qflash_bwd(key: _QAttnKey, residuals, g):
         # transform.
         dq = hadamard_rotate(dq)
         dk = hadamard_rotate(dk)
-    dbias = None if bias is None else jnp.zeros_like(bias)
+    if bias is None:
+        dbias = None
+    elif key.bias_grad:
+        from umfa_tpu.ops.flash_bwd import flash_attention_bias_grad
+
+        b4 = bias
+        while b4.ndim < 4:
+            b4 = b4[None]
+        expand_q = b4.shape[2] == 1
+        if expand_q:
+            b4 = jnp.broadcast_to(
+                b4, (*b4.shape[:2], q_dq.shape[2], b4.shape[3])
+            )
+        dbias = flash_attention_bias_grad(
+            q_dq, k_dq, v_dq, out.astype(jnp.float32), lse,
+            g.astype(jnp.float32), b4,
+            causal=key.causal, window=key.window, scale=key.scale,
+            block_sizes=key.block_sizes, interpret=key.interpret,
+        )
+        if expand_q:
+            dbias = jnp.sum(dbias, axis=2, keepdims=True)
+        dbias = dbias.reshape(bias.shape).astype(bias.dtype)
+    else:
+        dbias = jnp.zeros_like(bias)
     return (
         dq.astype(qt_q.orig_dtype),
         dk.astype(qt_k.orig_dtype),
@@ -554,6 +578,7 @@ def quantized_flash_attention(
     out_dtype=None,
     interpret: bool = False,
     return_lse: bool = False,
+    bias_grad: bool = False,
 ):
     """Runtime-quantized fused attention, differentiable (STE).
 
@@ -574,6 +599,7 @@ def quantized_flash_attention(
         block_sizes=block_sizes,
         out_dtype=jnp.dtype(out_dtype).name if out_dtype else None,
         interpret=interpret,
+        bias_grad=bias_grad,
     )
     out, lse = _qflash(key, q, k, v, bias)
     if return_lse:

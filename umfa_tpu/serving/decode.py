@@ -57,6 +57,13 @@ def decode_attention(
         )  # (B, 1, Tq, S_max) broadcastable
         bias = jnp.broadcast_to(bias, (batch, 1, tq, cache.max_len))
 
+    # Few-token decode: the fused kernel's q tiles are ≥128 rows, so Tq=1
+    # would burn 128× the q-side compute. A fused-by-XLA GEMV path reads the
+    # cache exactly once (decode is KV-bandwidth-bound — and the quantized
+    # cache reads 4× fewer bytes, dequantized on the fly in registers).
+    if tq <= 16:
+        return _gemv_decode(q, cache, bias, scale)
+
     if isinstance(cache, QuantizedKVCache):
         hkv = cache.k_values.shape[1]
         qt_q = quantize(q, Precision.INT8, QuantMode.ROW)
@@ -80,3 +87,40 @@ def decode_attention(
     return flash_attention(
         q, cache.k, cache.v, bias, scale=scale, interpret=interpret
     )
+
+
+def _gemv_decode(q, cache, bias, scale):
+    """XLA-fused decode for small Tq: scores materialize at (B,H,Tq,S_max)
+    — tiny for decode — and K/V stream through once."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+    hq = q.shape[1]
+    if isinstance(cache, QuantizedKVCache):
+        hkv = cache.k_values.shape[1]
+        k = cache.k_values.astype(jnp.bfloat16)
+        v = cache.v_values.astype(jnp.bfloat16)
+        k_scales = cache.k_scales.astype(jnp.float32)  # (B,Hkv,S,1)
+        v_scales = cache.v_scales.astype(jnp.float32)
+    else:
+        hkv = cache.k.shape[1]
+        k, v = cache.k, cache.v
+        k_scales = v_scales = None
+    if hq != hkv:
+        g = hq // hkv
+        k = jnp.repeat(k, g, axis=1)
+        v = jnp.repeat(v, g, axis=1)
+        if k_scales is not None:
+            k_scales = jnp.repeat(k_scales, g, axis=1)
+            v_scales = jnp.repeat(v_scales, g, axis=1)
+    s = jnp.einsum(
+        "bhtd,bhsd->bhts", q.astype(jnp.float32), k.astype(jnp.float32)
+    )
+    if k_scales is not None:
+        s = s * k_scales[..., 0][:, :, None, :]  # per-row K scale
+    s = s * scale + bias.astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+    if v_scales is not None:
+        p = p * v_scales[..., 0][:, :, None, :]
+    out = jnp.einsum("bhts,bhsd->bhtd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
