@@ -32,8 +32,14 @@ def main():
         quant = append_quantized(init_quantized_cache(B, H, s_max, D), k, v)
         q1 = jnp.asarray(rng.normal(0, 1, (B, H, 1, D)), jnp.bfloat16)
 
-        t_dense = time_op(lambda q: decode_attention(q, dense), q1, iters=32)
-        t_quant = time_op(lambda q: decode_attention(q, quant), q1, iters=32)
+        # Caches must be traced arguments — closing over them bakes hundreds
+        # of MB of constants into the executable (endless compile).
+        t_dense = time_op(
+            lambda q, c: decode_attention(q, c), q1, dense, iters=32
+        )
+        t_quant = time_op(
+            lambda q, c: decode_attention(q, c), q1, quant, iters=32
+        )
         kv_bytes_dense = 2 * B * H * s_max * D * 2
         kv_bytes_quant = 2 * B * H * s_max * (D + 4)
         results[f"kv{s_max}"] = {
