@@ -1,0 +1,77 @@
+"""GPT-style causal LM: training forward, cache-consistency, generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from umfa_tpu.models import gpt
+
+
+CFG = gpt.GPTConfig(vocab=64, dim=128, num_heads=4, num_kv_heads=2,
+                    depth=2, max_seq=96, interpret=True)
+
+
+def _params():
+    return gpt.init_params(jax.random.PRNGKey(0), CFG)
+
+
+def test_forward_shapes_finite(rng):
+    params = _params()
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab, (2, 48)))
+    logits = gpt.forward(params, tokens, CFG)
+    assert logits.shape == (2, 48, CFG.vocab)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_train_step_reduces_loss(rng):
+    params = _params()
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab, (2, 48)))
+
+    def loss(params):
+        logits = gpt.forward(params, tokens[:, :-1], CFG)
+        targets = tokens[:, 1:]
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.mean(
+            jnp.take_along_axis(lp, targets[..., None], axis=-1)
+        )
+
+    l0, grads = jax.value_and_grad(loss)(params)
+    params2 = jax.tree_util.tree_map(lambda p, g: p - 0.5 * g, params, grads)
+    assert float(loss(params2)) < float(l0)
+
+
+def test_cache_decode_matches_full_forward(rng):
+    # The serving path (KV cache + decode attention) must reproduce the
+    # training forward logits token-by-token — the strongest end-to-end
+    # check of cache/decode/RoPE-position correctness.
+    params = _params()
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab, (1, 24)))
+    full_logits = gpt.forward(params, tokens, CFG)
+
+    caches = gpt.init_caches(CFG, 1)
+    # Prefill the first 16 tokens at once, then decode 8 one at a time.
+    logits_prefill, caches = gpt.forward_with_cache(
+        params, tokens[:, :16], caches, CFG
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_prefill), np.asarray(full_logits[:, :16]),
+        atol=2e-3, rtol=2e-3,
+    )
+    for t in range(16, 24):
+        step_logits, caches = gpt.forward_with_cache(
+            params, tokens[:, t : t + 1], caches, CFG
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, t]),
+            atol=2e-3, rtol=2e-3, err_msg=f"token {t}",
+        )
+
+
+def test_generate(rng):
+    params = _params()
+    prompt = jnp.asarray(rng.integers(0, CFG.vocab, (2, 8)))
+    out = gpt.generate(params, prompt, steps=6, cfg=CFG)
+    assert out.shape == (2, 14)
+    np.testing.assert_array_equal(np.asarray(out[:, :8]), np.asarray(prompt))
+    assert (np.asarray(out) >= 0).all() and (np.asarray(out) < CFG.vocab).all()

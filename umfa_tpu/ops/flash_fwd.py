@@ -61,10 +61,10 @@ class BlockSizes:
 
     block_q: int = 512
     block_k: int = 2048
-    block_q_dq: int = 256
-    block_k_dq: int = 512
+    block_q_dq: int = 512
+    block_k_dq: int = 1024
     block_q_dkv: int = 512
-    block_k_dkv: int = 256
+    block_k_dkv: int = 1024
 
 
 def _round_up(x: int, m: int) -> int:
