@@ -86,6 +86,30 @@ def test_attention_with_lse(rng):
     assert np.isfinite(np.asarray(lse)).all()
 
 
+def test_attention_with_lse_quantized_route(rng):
+    # Regression: return_lse under an active quantization mode must still
+    # return the (out, lse) pair.
+    q, k, v = make_qkv(rng, 1, 2, 64, 64, 64)
+    with umfa_tpu.use_quantization("int8", "row"):
+        out, lse = umfa_tpu.attention_with_lse(q, k, v, interpret=True)
+    assert out.shape == (1, 2, 64, 64)
+    assert lse.shape == (1, 2, 64)
+
+
+def test_fp16_inputs(rng):
+    # Reference supports FP16 inputs (mfa_ffi.h precision enum).
+    q, k, v = make_qkv(rng, 1, 2, 64, 64, 64, dtype=jnp.float16)
+    out = umfa_tpu.attention(q, k, v, is_causal=True, interpret=True)
+    assert out.dtype == jnp.float16
+    want = reference_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        causal=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want), **TOL["fp16"]
+    )
+
+
 def test_numpy_inputs_accepted(rng):
     # Reference parity: umfa.attention takes numpy arrays zero-copy
     # (core.py:120-126); here numpy flows through jnp.asarray.

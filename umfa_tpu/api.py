@@ -203,9 +203,21 @@ def attention(
             # Quantized kernel takes the compiled mask's bias (tile-skip
             # structure lands there in a later revision).
             route_args["bias"] = block_mask.bias
-        out = quantized_flash_attention(
-            q4, k4, v4, config=quant, bias_grad=bias_grad, **route_args
+        result = quantized_flash_attention(
+            q4, k4, v4, config=quant, bias_grad=bias_grad,
+            return_lse=return_lse, **route_args
         )
+        if return_lse:
+            out, lse = result
+            if cfg.NAN_CHECK:
+                out = _nan_check_or_recompute(
+                    out, q4, k4, v4, bias, is_causal, window, scale
+                )
+            for _ in range(added):
+                out = out[0]
+                lse = lse[0]
+            return out, lse
+        out = result
     elif return_lse:
         record_dispatch("fused_fwd")
         out, lse = flash_attention(

@@ -470,6 +470,13 @@ def flash_attention_backward(
     if scale is None:
         scale = head_dim**-0.5
     interpret = interpret or jax.default_backend() == "cpu"
+    # Mosaic has no f16 type: FP16 is storage-only (see flash_fwd).
+    if q.dtype == jnp.float16:
+        q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    if out.dtype == jnp.float16:
+        out = out.astype(jnp.float32)
+    if do.dtype == jnp.float16:
+        do = do.astype(jnp.float32)
 
     from umfa_tpu.ops.flash_fwd import _choose_block
 

@@ -339,6 +339,18 @@ def flash_attention_forward(
     # Pallas TPU lowering is unavailable on CPU (tests, multi-chip dry runs):
     # fall back to the interpreter automatically. Static per-process choice.
     interpret = interpret or jax.default_backend() == "cpu"
+    # Mosaic has no f16 type: FP16 is storage-only — compute in FP32 (the
+    # intermediates are FP32 anyway) and cast the output back.
+    fp16_out = (out_dtype is None and q.dtype == jnp.float16) or (
+        out_dtype is not None and jnp.dtype(out_dtype) == jnp.float16
+    )
+    if q.dtype == jnp.float16:
+        q = q.astype(jnp.float32)
+    if k.dtype == jnp.float16:
+        k = k.astype(jnp.float32)
+        v = v.astype(jnp.float32)
+    if fp16_out:
+        out_dtype = jnp.float32
     if scale is None:
         scale = head_dim**-0.5
     if out_dtype is None:
@@ -488,4 +500,6 @@ def flash_attention_forward(
 
     out = out[:, :, :seq_q]
     lse = lse[:, :, :seq_q, 0]
+    if fp16_out:
+        out = out.astype(jnp.float16)
     return out, lse

@@ -250,6 +250,10 @@ def quantized_attention_forward(
     if scale is None:
         scale = head_dim**-0.5
     interpret = interpret or jax.default_backend() == "cpu"
+    # Mosaic has no f16 type: FP16 output is storage-only (cast outside).
+    fp16_out = jnp.dtype(out_dtype) == jnp.float16
+    if fp16_out:
+        out_dtype = jnp.float32
 
     asym = qt_q.strategy == QuantStrategy.ASYMMETRIC
     for t in (qt_q, qt_k, qt_v):
@@ -404,7 +408,10 @@ def quantized_attention_forward(
         interpret=interpret,
     )(*args)
 
-    return out[:, :, :seq_q], lse[:, :, :seq_q, 0]
+    out = out[:, :, :seq_q]
+    if fp16_out:
+        out = out.astype(jnp.float16)
+    return out, lse[:, :, :seq_q, 0]
 
 
 @dataclasses.dataclass(frozen=True)
