@@ -38,7 +38,7 @@ class AttnConfig:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _flash(config: AttnConfig, q, k, v, bias, block_map):
+def _flash(config: AttnConfig, q, k, v, bias, block_map, fetch_kv, fetch_q):
     """Differentiable fused attention returning (out, lse).
 
     LSE is a first-class differentiable output (the ring-attention merge
@@ -46,7 +46,7 @@ def _flash(config: AttnConfig, q, k, v, bias, block_map):
     (flash_bwd.flash_attention_backward, `dlse`). `block_map` is a compiled
     block-sparse structure (ops/block_mask.py) or None."""
     return flash_attention_forward(
-        q, k, v, bias, block_map,
+        q, k, v, bias, block_map, fetch_kv,
         causal=config.causal,
         window=config.window,
         scale=config.scale,
@@ -56,16 +56,16 @@ def _flash(config: AttnConfig, q, k, v, bias, block_map):
     )
 
 
-def _flash_fwd(config, q, k, v, bias, block_map):
-    out, lse = _flash(config, q, k, v, bias, block_map)
-    return (out, lse), (q, k, v, bias, block_map, out, lse)
+def _flash_fwd(config, q, k, v, bias, block_map, fetch_kv, fetch_q):
+    out, lse = _flash(config, q, k, v, bias, block_map, fetch_kv, fetch_q)
+    return (out, lse), (q, k, v, bias, block_map, fetch_kv, fetch_q, out, lse)
 
 
 def _flash_bwd(config, residuals, g):
-    q, k, v, bias, block_map, out, lse = residuals
+    q, k, v, bias, block_map, fetch_kv, fetch_q, out, lse = residuals
     g_out, g_lse = g
     dq, dk, dv = flash_attention_backward(
-        q, k, v, out, lse, g_out, bias, g_lse, block_map,
+        q, k, v, out, lse, g_out, bias, g_lse, block_map, fetch_kv, fetch_q,
         causal=config.causal,
         window=config.window,
         scale=config.scale,
@@ -94,8 +94,10 @@ def _flash_bwd(config, residuals, g):
     else:
         dbias = jnp.zeros_like(bias)
     dmap = None if block_map is None else jnp.zeros_like(block_map)
+    dfkv = None if fetch_kv is None else jnp.zeros_like(fetch_kv)
+    dfq = None if fetch_q is None else jnp.zeros_like(fetch_q)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            dbias, dmap)
+            dbias, dmap, dfkv, dfq)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -128,11 +130,13 @@ def flash_attention(
     Gradients are computed in FP32 and cast back to input dtypes (reference
     invariant: FP32 grads, metal_sdpa_backend.cpp:2800-2804).
     """
-    block_map = None
+    block_map = fetch_kv = fetch_q = None
     if block_mask is not None:
         assert bias is None, "pass either bias or block_mask, not both"
         bias = block_mask.bias
         block_map = block_mask.block_map
+        fetch_kv = block_mask.fetch_kv
+        fetch_q = block_mask.fetch_q
         # Forward AND backward tilings must match the compiled map.
         block_sizes = dataclasses.replace(
             block_sizes,
@@ -152,7 +156,7 @@ def flash_attention(
         interpret=interpret,
         bias_grad=bias_grad,
     )
-    out, lse = _flash(config, q, k, v, bias, block_map)
+    out, lse = _flash(config, q, k, v, bias, block_map, fetch_kv, fetch_q)
     if return_lse:
         # (out, lse) path — reference: mfa_attention_forward_with_lse
         # (MFABridge.swift:3071) — differentiable here.

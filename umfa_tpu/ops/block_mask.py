@@ -43,15 +43,24 @@ class BlockMask:
     block_k: int
     seq_q: int
     seq_k: int
+    # Scalar-prefetch fetch tables (splash-attention style): the index maps
+    # consult them so skipped tiles reuse a neighbour's block and Pallas
+    # elides the DMA. Entry = the tile to fetch at this grid step (-1 = the
+    # whole row/col is masked). Only built from concrete (non-traced) masks.
+    fetch_kv: Optional[jax.Array] = None   # (Bm, Hm, nq, nk) int32
+    fetch_q: Optional[jax.Array] = None    # (Bm, Hm, nk, nq) int32
 
     def tree_flatten(self):
-        return (self.block_map, self.bias), (
+        return (self.block_map, self.bias, self.fetch_kv, self.fetch_q), (
             self.block_q, self.block_k, self.seq_q, self.seq_k,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(
+            children[0], children[1], *aux,
+            fetch_kv=children[2], fetch_q=children[3],
+        )
 
     @property
     def sparsity(self) -> jax.Array:
@@ -110,10 +119,44 @@ def make_block_mask(
     bias = None
     if needs_bias:
         bias = jnp.where(bool_mask, 0.0, DEFAULT_MASK_VALUE).astype(jnp.float32)
+
+    fetch_kv = fetch_q = None
+    if not isinstance(block_map, jax.core.Tracer):
+        import numpy as np
+
+        m = np.asarray(block_map)  # (Bm, Hm, nq, nk)
+        fetch_kv = jnp.asarray(_fetch_table(m), jnp.int32)
+        fetch_q = jnp.asarray(
+            _fetch_table(np.swapaxes(m, 2, 3)), jnp.int32
+        )
     return BlockMask(
         block_map=block_map, bias=bias,
         block_q=block_q, block_k=block_k, seq_q=seq_q, seq_k=seq_k,
+        fetch_kv=fetch_kv, fetch_q=fetch_q,
     )
+
+
+def _fetch_table(m):
+    """For each inner index j along the last dim: j if visible, else the
+    nearest visible neighbour (preferring the previous one), or -1 if the
+    whole row is masked. Consecutive equal entries make Pallas elide the
+    block copy."""
+    import numpy as np
+
+    bm, hm, no, ni = m.shape
+    fetch = np.full_like(m, -1)
+    for b in range(bm):
+        for h in range(hm):
+            for o in range(no):
+                vis = np.nonzero(m[b, h, o] > 0)[0]
+                if vis.size == 0:
+                    continue
+                last = vis[0]  # steps before the first visible fetch it
+                for j in range(ni):
+                    if m[b, h, o, j] > 0:
+                        last = j
+                    fetch[b, h, o, j] = last
+    return fetch
 
 
 def causal_block_mask(seq_q: int, seq_k: int, **kwargs) -> BlockMask:

@@ -76,8 +76,12 @@ def _dq_kernel(
     num_k_blocks,
     has_bias,
     has_map,
+    has_fetch=False,
 ):
     refs = list(refs)
+    fetch_ref = None
+    if has_fetch:
+        fetch_ref = refs.pop(0)
     (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref) = refs[:6]
     idx = 6
     bias_ref = map_ref = None
@@ -101,7 +105,14 @@ def _dq_kernel(
         block_q=block_q, block_k=block_k,
         causal=causal, window=window, seq_q=seq_q, seq_k=seq_k,
     )
-    if map_ref is not None:
+    if fetch_ref is not None:
+        fid = fetch_ref[
+            pl.program_id(0) if fetch_ref.shape[0] > 1 else 0,
+            pl.program_id(1) if fetch_ref.shape[1] > 1 else 0,
+            qi, ki,
+        ]
+        visible = jnp.logical_and(visible, fid == ki)
+    elif map_ref is not None:
         typ = map_ref[
             pl.program_id(0) if map_ref.shape[0] > 1 else 0,
             pl.program_id(1) if map_ref.shape[1] > 1 else 0,
@@ -162,8 +173,12 @@ def _dkv_kernel(
     num_q_blocks,
     has_bias,
     has_map,
+    has_fetch=False,
 ):
     refs = list(refs)
+    fetch_ref = None
+    if has_fetch:
+        fetch_ref = refs.pop(0)
     (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref) = refs[:6]
     idx = 6
     bias_ref = map_ref = None
@@ -188,7 +203,15 @@ def _dkv_kernel(
         block_q=block_q, block_k=block_k,
         causal=causal, window=window, seq_q=seq_q, seq_k=seq_k,
     )
-    if map_ref is not None:
+    if fetch_ref is not None:
+        # fetch_q table is (Bm, Hm, nk, nq): indexed by (ki, qi).
+        fid = fetch_ref[
+            pl.program_id(0) if fetch_ref.shape[0] > 1 else 0,
+            pl.program_id(1) if fetch_ref.shape[1] > 1 else 0,
+            ki, qi,
+        ]
+        visible = jnp.logical_and(visible, fid == qi)
+    elif map_ref is not None:
         typ = map_ref[
             pl.program_id(0) if map_ref.shape[0] > 1 else 0,
             pl.program_id(1) if map_ref.shape[1] > 1 else 0,
@@ -451,6 +474,8 @@ def flash_attention_backward(
     bias: Optional[jax.Array] = None,
     dlse: Optional[jax.Array] = None,
     block_map: Optional[jax.Array] = None,
+    fetch_kv: Optional[jax.Array] = None,
+    fetch_q: Optional[jax.Array] = None,
     *,
     causal: bool = False,
     window: Optional[tuple] = None,
@@ -558,29 +583,44 @@ def flash_attention_backward(
                 )
         return qi
 
+    def _fetch_idx(fref, b, h, o, inner):
+        val = fref[
+            b if fref.shape[0] > 1 else 0,
+            h if fref.shape[1] > 1 else 0,
+            o, inner,
+        ]
+        return jnp.maximum(val, 0)
+
     def specs(order):
         """order: 'qk' for dQ kernel (qi, ki), 'kq' for dK/dV kernel.
         The inner-loop operand indices are clamped into the outer block's
-        visible range (DMA elision for skipped tiles)."""
+        visible range — statically for causal/window, via the prefetched
+        fetch tables for compiled block masks (DMA elision either way)."""
         if order == "qk":
-            def qix(b, h, i, j):
+            def qix(b, h, i, j, refs):
                 return i
-            def kix(b, h, i, j):
+            def kix(b, h, i, j, refs):
+                if has_fetch:
+                    return _fetch_idx(refs[0], b, h, i, j)
                 return clamp_ki(i, j)
         else:
-            def qix(b, h, i, j):
+            def qix(b, h, i, j, refs):
+                if has_fetch:
+                    return _fetch_idx(refs[0], b, h, i, j)
                 return clamp_qi(i, j)
-            def kix(b, h, i, j):
+            def kix(b, h, i, j, refs):
                 return i
         q_spec = pl.BlockSpec(
-            (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, qix(b, h, i, j), 0)
+            (1, 1, block_q, head_dim),
+            lambda b, h, i, j, *refs: (b, h, qix(b, h, i, j, refs), 0),
         )
         kv_spec = pl.BlockSpec(
             (1, 1, block_k, head_dim),
-            lambda b, h, i, j: (b, h // group, kix(b, h, i, j), 0),
+            lambda b, h, i, j, *refs: (b, h // group, kix(b, h, i, j, refs), 0),
         )
         row_spec = pl.BlockSpec(
-            (1, 1, block_q, _LANES), lambda b, h, i, j: (b, h, qix(b, h, i, j), 0)
+            (1, 1, block_q, _LANES),
+            lambda b, h, i, j, *refs: (b, h, qix(b, h, i, j, refs), 0),
         )
         ins = [q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec]
         if has_bias:
@@ -588,11 +628,11 @@ def flash_attention_backward(
             ins.append(
                 pl.BlockSpec(
                     (1, 1, 1 if bq_bcast else block_q, block_k),
-                    lambda b, h, i, j: (
+                    lambda b, h, i, j, *refs: (
                         b if bb > 1 else 0,
                         h if bh > 1 else 0,
-                        0 if bq_bcast else qix(b, h, i, j),
-                        kix(b, h, i, j),
+                        0 if bq_bcast else qix(b, h, i, j, refs),
+                        kix(b, h, i, j, refs),
                     ),
                 )
             )
@@ -600,7 +640,7 @@ def flash_attention_backward(
             ins.append(
                 pl.BlockSpec(
                     block_map.shape,
-                    lambda b, h, i, j: (0, 0, 0, 0),
+                    lambda b, h, i, j, *refs: (0, 0, 0, 0),
                     memory_space=pltpu.SMEM,
                 )
             )
@@ -609,69 +649,117 @@ def flash_attention_backward(
     common_args = [q_pad, k_pad, v_pad, do_pad, lse_b, delta_b]
     if has_bias:
         common_args.append(bias)
-    has_map = block_map is not None
-    if has_map:
+    has_fetch = (
+        block_map is not None and fetch_kv is not None and fetch_q is not None
+    )
+    has_map = block_map is not None and not has_fetch
+    if block_map is not None:
         assert block_map.shape[2] == num_q_blocks and (
             block_map.shape[3] == num_k_blocks
         ), (block_map.shape, num_q_blocks, num_k_blocks)
+    if has_map:
         common_args.append(block_map)
 
     # ---- dQ pass ----
-    dq = pl.pallas_call(
-        functools.partial(
-            _dq_kernel,
-            scale=scale, causal=causal, window=window,
-            block_q=block_q, block_k=block_k,
-            seq_q=seq_q, seq_k=seq_k,
-            num_k_blocks=num_k_blocks, has_bias=has_bias, has_map=has_map,
-        ),
-        grid=(batch, num_heads, num_q_blocks, num_k_blocks),
-        in_specs=specs("qk"),
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (batch, num_heads, padded_sq, head_dim), jnp.float32
-        ),
-        scratch_shapes=[pltpu.VMEM((block_q, head_dim), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(*common_args)
+    dq_kernel = functools.partial(
+        _dq_kernel,
+        scale=scale, causal=causal, window=window,
+        block_q=block_q, block_k=block_k,
+        seq_q=seq_q, seq_k=seq_k,
+        num_k_blocks=num_k_blocks, has_bias=has_bias, has_map=has_map,
+        has_fetch=has_fetch,
+    )
+    dq_grid = (batch, num_heads, num_q_blocks, num_k_blocks)
+    dq_out_spec = pl.BlockSpec(
+        (1, 1, block_q, head_dim), lambda b, h, i, j, *refs: (b, h, i, 0)
+    )
+    dq_out_shape = jax.ShapeDtypeStruct(
+        (batch, num_heads, padded_sq, head_dim), jnp.float32
+    )
+    dq_scratch = [pltpu.VMEM((block_q, head_dim), jnp.float32)]
+    dq_cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+    )
+    if has_fetch:
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=dq_grid,
+                in_specs=specs("qk"),
+                out_specs=dq_out_spec,
+                scratch_shapes=dq_scratch,
+            ),
+            out_shape=dq_out_shape,
+            compiler_params=dq_cparams,
+            interpret=interpret,
+        )(fetch_kv, *common_args)
+    else:
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid=dq_grid,
+            in_specs=specs("qk"),
+            out_specs=dq_out_spec,
+            out_shape=dq_out_shape,
+            scratch_shapes=dq_scratch,
+            compiler_params=dq_cparams,
+            interpret=interpret,
+        )(*common_args)
 
     # ---- dK/dV pass (per expanded head; GQA reduced below) ----
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _dkv_kernel,
-            scale=scale, causal=causal, window=window,
-            block_q=block_q, block_k=block_k,
-            seq_q=seq_q, seq_k=seq_k,
-            num_q_blocks=num_q_blocks, has_bias=has_bias, has_map=has_map,
+    dkv_kernel = functools.partial(
+        _dkv_kernel,
+        scale=scale, causal=causal, window=window,
+        block_q=block_q, block_k=block_k,
+        seq_q=seq_q, seq_k=seq_k,
+        num_q_blocks=num_q_blocks, has_bias=has_bias, has_map=has_map,
+        has_fetch=has_fetch,
+    )
+    dkv_grid = (batch, num_heads, num_k_blocks, num_q_blocks)
+    dkv_out_specs = [
+        pl.BlockSpec(
+            (1, 1, block_k, head_dim), lambda b, h, i, j, *refs: (b, h, i, 0)
         ),
-        grid=(batch, num_heads, num_k_blocks, num_q_blocks),
-        in_specs=specs("kq"),
-        out_specs=[
-            pl.BlockSpec(
-                (1, 1, block_k, head_dim), lambda b, h, i, j: (b, h, i, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, head_dim), lambda b, h, i, j: (b, h, i, 0)
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((batch, num_heads, padded_sk, head_dim), jnp.float32),
-            jax.ShapeDtypeStruct((batch, num_heads, padded_sk, head_dim), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_k, head_dim), jnp.float32),
-            pltpu.VMEM((block_k, head_dim), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        pl.BlockSpec(
+            (1, 1, block_k, head_dim), lambda b, h, i, j, *refs: (b, h, i, 0)
         ),
-        interpret=interpret,
-    )(*common_args)
+    ]
+    dkv_out_shape = [
+        jax.ShapeDtypeStruct((batch, num_heads, padded_sk, head_dim), jnp.float32),
+        jax.ShapeDtypeStruct((batch, num_heads, padded_sk, head_dim), jnp.float32),
+    ]
+    dkv_scratch = [
+        pltpu.VMEM((block_k, head_dim), jnp.float32),
+        pltpu.VMEM((block_k, head_dim), jnp.float32),
+    ]
+    dkv_cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+    )
+    if has_fetch:
+        dk, dv = pl.pallas_call(
+            dkv_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=dkv_grid,
+                in_specs=specs("kq"),
+                out_specs=dkv_out_specs,
+                scratch_shapes=dkv_scratch,
+            ),
+            out_shape=dkv_out_shape,
+            compiler_params=dkv_cparams,
+            interpret=interpret,
+        )(fetch_q, *common_args)
+    else:
+        dk, dv = pl.pallas_call(
+            dkv_kernel,
+            grid=dkv_grid,
+            in_specs=specs("kq"),
+            out_specs=dkv_out_specs,
+            out_shape=dkv_out_shape,
+            scratch_shapes=dkv_scratch,
+            compiler_params=dkv_cparams,
+            interpret=interpret,
+        )(*common_args)
 
     dq = dq[:, :, :seq_q]
     dk = dk[:, :, :seq_k]

@@ -161,9 +161,14 @@ def _fwd_kernel(
     num_k_blocks: int,
     has_bias: bool,
     has_map: bool,
+    has_fetch: bool,
     out_dtype,
 ):
     refs = list(refs)
+    fetch_ref = None
+    if has_fetch:
+        # Scalar-prefetch operand comes first (PrefetchScalarGridSpec).
+        fetch_ref = refs.pop(0)
     q_ref, k_ref, v_ref = refs[:3]
     idx = 3
     bias_ref = map_ref = None
@@ -196,7 +201,20 @@ def _fwd_kernel(
         seq_q=seq_q,
         seq_k=seq_k,
     )
-    if map_ref is not None:
+    if fetch_ref is not None:
+        # Prefetched fetch table: this step is real iff its fetched tile is
+        # its own (skipped steps alias a neighbour → DMA already elided by
+        # the index map).
+        b = pl.program_id(0)
+        h = pl.program_id(1)
+        fid = fetch_ref[
+            b if fetch_ref.shape[0] > 1 else 0,
+            h if fetch_ref.shape[1] > 1 else 0,
+            qi,
+            ki,
+        ]
+        visible = jnp.logical_and(visible, fid == ki)
+    elif map_ref is not None:
         # Compiled block-sparse structure: 0 = skip tile entirely.
         b = pl.program_id(0)
         h = pl.program_id(1)
@@ -309,6 +327,7 @@ def flash_attention_forward(
     v: jax.Array,
     bias: Optional[jax.Array] = None,
     block_map: Optional[jax.Array] = None,
+    fetch_ids: Optional[jax.Array] = None,
     *,
     causal: bool = False,
     window: Optional[tuple] = None,
@@ -373,6 +392,22 @@ def flash_attention_forward(
     num_k_blocks = padded_sk // block_k
 
     grid = (batch, num_heads, num_q_blocks, num_k_blocks)
+    has_fetch = block_map is not None and fetch_ids is not None
+
+    def _ki_eff(b, h, qi, ki, refs):
+        """Effective KV tile for this grid step: data-driven from the
+        prefetched fetch table when available (skipped tiles alias a
+        neighbour → DMA elided), else the static causal/window clamp."""
+        if has_fetch:
+            fref = refs[0]
+            kk = fref[
+                b if fref.shape[0] > 1 else 0,
+                h if fref.shape[1] > 1 else 0,
+                qi,
+                ki,
+            ]
+            return jnp.maximum(kk, 0)
+        return clamp_ki(qi, ki)
 
     def clamp_ki(qi, ki):
         """Clamp the KV block index into this q-block's visible range.
@@ -395,11 +430,13 @@ def flash_attention_forward(
         return ki
 
     q_spec = pl.BlockSpec(
-        (1, 1, block_q, head_dim), lambda b, h, qi, ki: (b, h, qi, 0)
+        (1, 1, block_q, head_dim), lambda b, h, qi, ki, *refs: (b, h, qi, 0)
     )
     kv_spec = pl.BlockSpec(
         (1, 1, block_k, head_dim),
-        lambda b, h, qi, ki, group=group: (b, h // group, clamp_ki(qi, ki), 0),
+        lambda b, h, qi, ki, *refs, group=group: (
+            b, h // group, _ki_eff(b, h, qi, ki, refs), 0
+        ),
     )
     in_specs = [q_spec, kv_spec, kv_spec]
     args = [q_pad, k_pad, v_pad]
@@ -420,18 +457,18 @@ def flash_attention_forward(
             bias = _pad_seq(bias, block_q, 2)
         bias_spec = pl.BlockSpec(
             (1, 1, 1 if bq_bcast else block_q, block_k),
-            lambda b, h, qi, ki, bb=bb, bh=bh, bq=bq_bcast: (
+            lambda b, h, qi, ki, *refs, bb=bb, bh=bh, bq=bq_bcast: (
                 b if bb > 1 else 0,
                 h if bh > 1 else 0,
                 0 if bq else qi,
-                clamp_ki(qi, ki),
+                _ki_eff(b, h, qi, ki, refs),
             ),
         )
         in_specs.append(bias_spec)
         args.append(bias)
 
-    has_map = block_map is not None
-    if has_map:
+    has_map = block_map is not None and not has_fetch
+    if block_map is not None:
         assert block_map.shape[2] == num_q_blocks and (
             block_map.shape[3] == num_k_blocks
         ), (
@@ -439,18 +476,25 @@ def flash_attention_forward(
             f"({num_q_blocks}, {num_k_blocks}) — build the BlockMask with "
             "the same block sizes"
         )
+    if has_map:
         in_specs.append(
             pl.BlockSpec(
                 block_map.shape,
-                lambda b, h, qi, ki: (0, 0, 0, 0),
+                lambda b, h, qi, ki, *refs: (0, 0, 0, 0),
                 memory_space=pltpu.SMEM,
             )
         )
         args.append(block_map)
 
     out_specs = [
-        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, qi, ki: (b, h, qi, 0)),
-        pl.BlockSpec((1, 1, block_q, _LANES), lambda b, h, qi, ki: (b, h, qi, 0)),
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim),
+            lambda b, h, qi, ki, *refs: (b, h, qi, 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, block_q, _LANES),
+            lambda b, h, qi, ki, *refs: (b, h, qi, 0),
+        ),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((batch, num_heads, padded_sq, head_dim), out_dtype),
@@ -469,20 +513,17 @@ def flash_attention_forward(
         num_k_blocks=num_k_blocks,
         has_bias=has_bias,
         has_map=has_map,
+        has_fetch=has_fetch,
         out_dtype=out_dtype,
     )
 
-    out, lse = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
+    scratch_shapes = [
+        pltpu.VMEM((block_q, _LANES), jnp.float32),  # m
+        pltpu.VMEM((block_q, _LANES), jnp.float32),  # l
+        pltpu.VMEM((block_q, head_dim), jnp.float32),  # acc
+    ]
+    common = dict(
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),  # m
-            pltpu.VMEM((block_q, _LANES), jnp.float32),  # l
-            pltpu.VMEM((block_q, head_dim), jnp.float32),  # acc
-        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * num_heads * seq_q * seq_k * head_dim,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
@@ -496,7 +537,27 @@ def flash_attention_forward(
         ),
         interpret=interpret,
         debug=debug,
-    )(*args)
+    )
+    if has_fetch:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
+        out, lse = pl.pallas_call(kernel, grid_spec=grid_spec, **common)(
+            fetch_ids, *args
+        )
+    else:
+        out, lse = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+            **common,
+        )(*args)
 
     out = out[:, :, :seq_q]
     lse = lse[:, :, :seq_q, 0]
