@@ -43,12 +43,14 @@ class BlockMask:
     block_k: int
     seq_q: int
     seq_k: int
-    # Scalar-prefetch fetch tables (splash-attention style): the index maps
-    # consult them so skipped tiles reuse a neighbour's block and Pallas
-    # elides the DMA. Entry = the tile to fetch at this grid step (-1 = the
-    # whole row/col is masked). Only built from concrete (non-traced) masks.
-    fetch_kv: Optional[jax.Array] = None   # (Bm, Hm, nq, nk) int32
-    fetch_q: Optional[jax.Array] = None    # (Bm, Hm, nk, nq) int32
+    # Compacted scalar-prefetch tables (splash-attention style): entry s of
+    # row o is the s-th VISIBLE tile index (-1 padding past the row's count).
+    # The kernels' inner grid dimension shrinks to the global max visible
+    # count, index maps fetch tiles from these tables (skipped steps alias a
+    # neighbour → DMA elided), and visibility is simply id >= 0. Only built
+    # from concrete (non-traced) masks.
+    fetch_kv: Optional[jax.Array] = None   # (Bm, Hm, nq, max_vis_kv) int32
+    fetch_q: Optional[jax.Array] = None    # (Bm, Hm, nk, max_vis_q) int32
 
     def tree_flatten(self):
         return (self.block_map, self.bias, self.fetch_kv, self.fetch_q), (
@@ -125,9 +127,9 @@ def make_block_mask(
         import numpy as np
 
         m = np.asarray(block_map)  # (Bm, Hm, nq, nk)
-        fetch_kv = jnp.asarray(_fetch_table(m), jnp.int32)
+        fetch_kv = jnp.asarray(_compact_ids(m), jnp.int32)
         fetch_q = jnp.asarray(
-            _fetch_table(np.swapaxes(m, 2, 3)), jnp.int32
+            _compact_ids(np.swapaxes(m, 2, 3)), jnp.int32
         )
     return BlockMask(
         block_map=block_map, bias=bias,
@@ -136,27 +138,29 @@ def make_block_mask(
     )
 
 
-def _fetch_table(m):
-    """For each inner index j along the last dim: j if visible, else the
-    nearest visible neighbour (preferring the previous one), or -1 if the
-    whole row is masked. Consecutive equal entries make Pallas elide the
-    block copy."""
+def _compact_ids(m):
+    """Per row of the last dim, the list of visible tile indices. Padding
+    past a row's count is encoded as -(last_visible + 1): still negative
+    (visibility check is id >= 0) but decodes to the last visible tile
+    (-id - 1), so padded grid steps alias the previous step's tile and their
+    DMA is elided. Fully-masked rows are all -1 (decode → tile 0, invisible).
+    Table width = global max visible count — the kernels' compacted inner
+    grid dimension."""
     import numpy as np
 
     bm, hm, no, ni = m.shape
-    fetch = np.full_like(m, -1)
+    counts = (m > 0).sum(axis=-1)
+    width = max(int(counts.max()), 1)
+    ids = np.full((bm, hm, no, width), -1, np.int32)
     for b in range(bm):
         for h in range(hm):
             for o in range(no):
                 vis = np.nonzero(m[b, h, o] > 0)[0]
                 if vis.size == 0:
                     continue
-                last = vis[0]  # steps before the first visible fetch it
-                for j in range(ni):
-                    if m[b, h, o, j] > 0:
-                        last = j
-                    fetch[b, h, o, j] = last
-    return fetch
+                ids[b, h, o, : vis.size] = vis
+                ids[b, h, o, vis.size :] = -(int(vis[-1]) + 1)
+    return ids
 
 
 def causal_block_mask(seq_q: int, seq_k: int, **kwargs) -> BlockMask:

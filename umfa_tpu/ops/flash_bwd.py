@@ -92,9 +92,18 @@ def _dq_kernel(
     dq_ref, dq_scr = refs[idx:]
 
     qi = pl.program_id(2)
-    ki = pl.program_id(3)
+    ki = pl.program_id(3)  # compacted step when has_fetch
     q_start = qi * block_q
-    k_start = ki * block_k
+    if fetch_ref is not None:
+        fid_raw = fetch_ref[
+            pl.program_id(0) if fetch_ref.shape[0] > 1 else 0,
+            pl.program_id(1) if fetch_ref.shape[1] > 1 else 0,
+            qi, ki,
+        ]
+        fid = jnp.where(fid_raw >= 0, fid_raw, -fid_raw - 1)
+        k_start = fid * block_k
+    else:
+        k_start = ki * block_k
 
     @pl.when(ki == 0)
     def _init():
@@ -106,12 +115,7 @@ def _dq_kernel(
         causal=causal, window=window, seq_q=seq_q, seq_k=seq_k,
     )
     if fetch_ref is not None:
-        fid = fetch_ref[
-            pl.program_id(0) if fetch_ref.shape[0] > 1 else 0,
-            pl.program_id(1) if fetch_ref.shape[1] > 1 else 0,
-            qi, ki,
-        ]
-        visible = jnp.logical_and(visible, fid == ki)
+        visible = jnp.logical_and(visible, fid_raw >= 0)
     elif map_ref is not None:
         typ = map_ref[
             pl.program_id(0) if map_ref.shape[0] > 1 else 0,
@@ -189,9 +193,19 @@ def _dkv_kernel(
     dk_ref, dv_ref, dk_scr, dv_scr = refs[idx:]
 
     ki = pl.program_id(2)
-    qi = pl.program_id(3)
-    q_start = qi * block_q
+    qi = pl.program_id(3)  # compacted step when has_fetch
     k_start = ki * block_k
+    if fetch_ref is not None:
+        # fetch_q table is (Bm, Hm, nk, max_vis_q): indexed by (ki, step).
+        fid_raw = fetch_ref[
+            pl.program_id(0) if fetch_ref.shape[0] > 1 else 0,
+            pl.program_id(1) if fetch_ref.shape[1] > 1 else 0,
+            ki, qi,
+        ]
+        fid = jnp.where(fid_raw >= 0, fid_raw, -fid_raw - 1)
+        q_start = fid * block_q
+    else:
+        q_start = qi * block_q
 
     @pl.when(qi == 0)
     def _init():
@@ -204,13 +218,7 @@ def _dkv_kernel(
         causal=causal, window=window, seq_q=seq_q, seq_k=seq_k,
     )
     if fetch_ref is not None:
-        # fetch_q table is (Bm, Hm, nk, nq): indexed by (ki, qi).
-        fid = fetch_ref[
-            pl.program_id(0) if fetch_ref.shape[0] > 1 else 0,
-            pl.program_id(1) if fetch_ref.shape[1] > 1 else 0,
-            ki, qi,
-        ]
-        visible = jnp.logical_and(visible, fid == qi)
+        visible = jnp.logical_and(visible, fid_raw >= 0)
     elif map_ref is not None:
         typ = map_ref[
             pl.program_id(0) if map_ref.shape[0] > 1 else 0,
@@ -589,7 +597,7 @@ def flash_attention_backward(
             h if fref.shape[1] > 1 else 0,
             o, inner,
         ]
-        return jnp.maximum(val, 0)
+        return jnp.where(val >= 0, val, -val - 1)
 
     def specs(order):
         """order: 'qk' for dQ kernel (qi, ki), 'kq' for dK/dV kernel.
@@ -652,6 +660,9 @@ def flash_attention_backward(
     has_fetch = (
         block_map is not None and fetch_kv is not None and fetch_q is not None
     )
+    if has_fetch:
+        assert fetch_kv.shape[2] == num_q_blocks, (fetch_kv.shape, num_q_blocks)
+        assert fetch_q.shape[2] == num_k_blocks, (fetch_q.shape, num_k_blocks)
     has_map = block_map is not None and not has_fetch
     if block_map is not None:
         assert block_map.shape[2] == num_q_blocks and (
@@ -666,10 +677,16 @@ def flash_attention_backward(
         scale=scale, causal=causal, window=window,
         block_q=block_q, block_k=block_k,
         seq_q=seq_q, seq_k=seq_k,
-        num_k_blocks=num_k_blocks, has_bias=has_bias, has_map=has_map,
+        num_k_blocks=(
+            fetch_kv.shape[3] if has_fetch else num_k_blocks
+        ),  # finalize at the last (compacted) step
+        has_bias=has_bias, has_map=has_map,
         has_fetch=has_fetch,
     )
-    dq_grid = (batch, num_heads, num_q_blocks, num_k_blocks)
+    dq_grid = (
+        batch, num_heads, num_q_blocks,
+        fetch_kv.shape[3] if has_fetch else num_k_blocks,
+    )
     dq_out_spec = pl.BlockSpec(
         (1, 1, block_q, head_dim), lambda b, h, i, j, *refs: (b, h, i, 0)
     )
@@ -712,10 +729,16 @@ def flash_attention_backward(
         scale=scale, causal=causal, window=window,
         block_q=block_q, block_k=block_k,
         seq_q=seq_q, seq_k=seq_k,
-        num_q_blocks=num_q_blocks, has_bias=has_bias, has_map=has_map,
+        num_q_blocks=(
+            fetch_q.shape[3] if has_fetch else num_q_blocks
+        ),
+        has_bias=has_bias, has_map=has_map,
         has_fetch=has_fetch,
     )
-    dkv_grid = (batch, num_heads, num_k_blocks, num_q_blocks)
+    dkv_grid = (
+        batch, num_heads, num_k_blocks,
+        fetch_q.shape[3] if has_fetch else num_q_blocks,
+    )
     dkv_out_specs = [
         pl.BlockSpec(
             (1, 1, block_k, head_dim), lambda b, h, i, j, *refs: (b, h, i, 0)

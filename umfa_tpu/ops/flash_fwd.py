@@ -181,9 +181,24 @@ def _fwd_kernel(
     o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[idx:]
 
     qi = pl.program_id(2)
-    ki = pl.program_id(3)
+    ki = pl.program_id(3)  # compacted step index when has_fetch
     q_start = qi * block_q
-    k_start = ki * block_k
+    if fetch_ref is not None:
+        # Compacted KV walk: the prefetched table holds the step's actual
+        # tile id (negative = padding, encoded as -(last_visible+1) so the
+        # index map aliases the previous tile and its DMA is elided).
+        b = pl.program_id(0)
+        h = pl.program_id(1)
+        fid_raw = fetch_ref[
+            b if fetch_ref.shape[0] > 1 else 0,
+            h if fetch_ref.shape[1] > 1 else 0,
+            qi,
+            ki,
+        ]
+        fid = jnp.where(fid_raw >= 0, fid_raw, -fid_raw - 1)
+        k_start = fid * block_k
+    else:
+        k_start = ki * block_k
 
     @pl.when(ki == 0)
     def _init():
@@ -202,18 +217,7 @@ def _fwd_kernel(
         seq_k=seq_k,
     )
     if fetch_ref is not None:
-        # Prefetched fetch table: this step is real iff its fetched tile is
-        # its own (skipped steps alias a neighbour → DMA already elided by
-        # the index map).
-        b = pl.program_id(0)
-        h = pl.program_id(1)
-        fid = fetch_ref[
-            b if fetch_ref.shape[0] > 1 else 0,
-            h if fetch_ref.shape[1] > 1 else 0,
-            qi,
-            ki,
-        ]
-        visible = jnp.logical_and(visible, fid == ki)
+        visible = jnp.logical_and(visible, fid_raw >= 0)
     elif map_ref is not None:
         # Compiled block-sparse structure: 0 = skip tile entirely.
         b = pl.program_id(0)
@@ -391,13 +395,16 @@ def flash_attention_forward(
     num_q_blocks = padded_sq // block_q
     num_k_blocks = padded_sk // block_k
 
-    grid = (batch, num_heads, num_q_blocks, num_k_blocks)
     has_fetch = block_map is not None and fetch_ids is not None
+    # Compacted KV walk: the inner grid dimension shrinks to the mask's max
+    # visible tile count (a 1/8-dense mask iterates 8× fewer steps).
+    num_steps = fetch_ids.shape[3] if has_fetch else num_k_blocks
+    grid = (batch, num_heads, num_q_blocks, num_steps)
 
     def _ki_eff(b, h, qi, ki, refs):
-        """Effective KV tile for this grid step: data-driven from the
-        prefetched fetch table when available (skipped tiles alias a
-        neighbour → DMA elided), else the static causal/window clamp."""
+        """Effective KV tile for this grid step: decoded from the prefetched
+        compacted table when available (padding encodes the previous tile →
+        DMA elided), else the static causal/window clamp."""
         if has_fetch:
             fref = refs[0]
             kk = fref[
@@ -406,7 +413,7 @@ def flash_attention_forward(
                 qi,
                 ki,
             ]
-            return jnp.maximum(kk, 0)
+            return jnp.where(kk >= 0, kk, -kk - 1)
         return clamp_ki(qi, ki)
 
     def clamp_ki(qi, ki):
@@ -476,6 +483,10 @@ def flash_attention_forward(
             f"({num_q_blocks}, {num_k_blocks}) — build the BlockMask with "
             "the same block sizes"
         )
+    if has_fetch:
+        assert fetch_ids.shape[2] == num_q_blocks, (
+            fetch_ids.shape, num_q_blocks
+        )
     if has_map:
         in_specs.append(
             pl.BlockSpec(
@@ -510,7 +521,7 @@ def flash_attention_forward(
         block_k=block_k,
         seq_q=seq_q,
         seq_k=seq_k,
-        num_k_blocks=num_k_blocks,
+        num_k_blocks=num_steps,  # finalize at the last (compacted) step
         has_bias=has_bias,
         has_map=has_map,
         has_fetch=has_fetch,
