@@ -15,7 +15,6 @@ from __future__ import annotations
 import dataclasses
 import enum
 import os
-from typing import Optional
 
 
 class Precision(enum.Enum):

@@ -18,7 +18,7 @@ from umfa_tpu.engine.config import QuantizationConfig
 from umfa_tpu.ops.attention import flash_attention
 from umfa_tpu.ops.rope import apply_rope
 from umfa_tpu.serving import decode_attention, init_cache
-from umfa_tpu.serving.kv_cache import KVCache, append
+from umfa_tpu.serving.kv_cache import append
 
 
 @dataclasses.dataclass(frozen=True)

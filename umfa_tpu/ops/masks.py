@@ -16,7 +16,7 @@ bool/FP16/BF16/FP32 mask with arbitrary strides into a dense FP32 additive
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ jax.grad a reverse ring for free.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

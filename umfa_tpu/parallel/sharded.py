@@ -9,7 +9,6 @@ rotation (ring.py). Collectives are XLA's, inserted by shard_map specs.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax

@@ -14,13 +14,10 @@ from __future__ import annotations
 
 import dataclasses
 from collections import deque
-from typing import Callable, Deque, Dict, List, Optional
+from typing import Callable, Deque, List, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from umfa_tpu.serving.kv_cache import KVCache, QuantizedKVCache
 
 
 @dataclasses.dataclass
