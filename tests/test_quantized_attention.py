@@ -139,6 +139,24 @@ def test_hadamard_helps_outliers(rng):
     assert err_had < err_plain
 
 
+def test_pv_int8_fully_integer_path(rng):
+    # Opt-in integer P·V: accuracy stays int8-grade despite per-tile V
+    # scales + P rounding.
+    import dataclasses
+
+    q, k, v = make_qkv(rng, 1, 4, 256, 256, 64)
+    cfg = dataclasses.replace(_cfg(Precision.INT8), pv_int8=True)
+    out = quantized_flash_attention(q, k, v, config=cfg, interpret=True)
+    want = reference_attention(q, k, v)
+    assert rel_err(out, want) < INT8_REL_ERR * 1.5
+    # causal too
+    out_c = quantized_flash_attention(
+        q, k, v, config=cfg, causal=True, interpret=True
+    )
+    want_c = reference_attention(q, k, v, causal=True)
+    assert rel_err(out_c, want_c) < INT8_REL_ERR * 1.5
+
+
 def test_quantized_backward_ste(rng):
     q, k, v = make_qkv(rng, 1, 2, 128, 128, 64)
 

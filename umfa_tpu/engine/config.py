@@ -82,6 +82,13 @@ class QuantizationConfig:
     # K channel-mean (softmax-invariant), Q mean (correction row added to
     # scores), V channel-mean (added back after normalization).
     smooth: bool = True
+    # Experimental fully-integer P·V: P quantized to int8 (scale 1/127 —
+    # P ∈ [0,1] after online softmax) and V re-quantized per kernel KV tile
+    # so its scale factors out of the integer matmul. Symmetric only.
+    # Measured on v5e at D=64: no speedup (the in-kernel P rounding costs
+    # what the bf16 cast did) and coarser V scales cost accuracy — left
+    # opt-in for PV-bound geometries.
+    pv_int8: bool = False
     output_precision: Precision = Precision.BF16
 
     @staticmethod

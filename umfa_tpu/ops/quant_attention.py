@@ -88,6 +88,7 @@ def _quant_fwd_kernel(
     asym: bool,
     has_corr: bool,
     has_bias: bool,
+    pv_int8: bool,
     out_dtype,
 ):
     idx = 0
@@ -186,22 +187,36 @@ def _quant_fwd_kernel(
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
-        # P·V with the per-row V scale folded into P (lane broadcast).
         vv = v_ref[0, 0]
         if v_int4:
             vv = _unpack_int4_lanes(vv)
         sv_row = vs_ref[0, 0]  # (1, block_k) or (1, 1)
-        p_scaled = p * sv_row
-        pv = jax.lax.dot_general(
-            p_scaled.astype(jnp.bfloat16),
-            vv.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if asym:
-            vzp = vzp_ref[0, 0].astype(jnp.float32)  # (1, block_k)|(1,1)
-            corr = jnp.sum(p_scaled * vzp, axis=-1, keepdims=True)
-            pv = pv - corr
+        if pv_int8:
+            # Fully-integer P·V: P ∈ [0,1] (online softmax) quantizes with
+            # the fixed scale 1/127; V's scale is constant over this tile
+            # (re-quantized per kernel tile) so it factors out of the dot.
+            p_i8 = jnp.round(p * 127.0).astype(jnp.int8)
+            pv_i32 = jax.lax.dot_general(
+                p_i8, vv,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            sv_scalar = sv_row[0:1, 0:1]  # tile-constant by construction
+            pv = pv_i32.astype(jnp.float32) * (sv_scalar * (1.0 / 127.0))
+        else:
+            # P·V with the per-row V scale folded into P (lane broadcast),
+            # dequantize-on-load in BF16 (reference-style).
+            p_scaled = p * sv_row
+            pv = jax.lax.dot_general(
+                p_scaled.astype(jnp.bfloat16),
+                vv.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if asym:
+                vzp = vzp_ref[0, 0].astype(jnp.float32)  # (1, block_k)|(1,1)
+                corr = jnp.sum(p_scaled * vzp, axis=-1, keepdims=True)
+                pv = pv - corr
         acc_scr[...] = acc_scr[...] * alpha + pv
 
     @pl.when(ki == num_k_blocks - 1)
@@ -238,6 +253,7 @@ def quantized_attention_forward(
     block_sizes: BlockSizes = BlockSizes(),
     out_dtype=jnp.float32,
     interpret: bool = False,
+    pv_int8: bool = False,
 ):
     """Run the quantized fused kernel on pre-quantized operands.
 
@@ -371,6 +387,7 @@ def quantized_attention_forward(
             num_k_blocks=num_k_blocks, head_dim=head_dim,
             q_int4=dq_pack == 2, k_int4=dk_pack == 2, v_int4=dv_pack == 2,
             asym=asym, has_corr=has_corr, has_bias=has_bias,
+            pv_int8=pv_int8,
             out_dtype=jnp.dtype(out_dtype),
         ),
         grid=grid,
@@ -426,7 +443,7 @@ class _QAttnKey:
     bias_grad: bool = False
 
 
-def _quantize_operands(q, k, v, config: QuantizationConfig):
+def _quantize_operands(q, k, v, config: QuantizationConfig, v_tile_k=None):
     """Runtime quantization with exact mean-smoothing compensation.
 
     Smoothing (SageAttention2-style, PAPERS.md; config.smooth):
@@ -474,7 +491,18 @@ def _quantize_operands(q, k, v, config: QuantizationConfig):
     bs = config.block_sizes
     qt_q = quantize(q, config.q_precision, config.mode, config.strategy, bs.q)
     qt_k = quantize(k, config.k_precision, config.mode, config.strategy, bs.k)
-    qt_v = quantize(v, config.v_precision, config.mode, config.strategy, bs.v)
+    if config.pv_int8:
+        # V scale must be constant per kernel KV tile so it factors out of
+        # the integer P·V matmul — quantize per tile-sized sequence block.
+        assert config.strategy == QuantStrategy.SYMMETRIC, (
+            "pv_int8 requires symmetric quantization"
+        )
+        assert v_tile_k is not None
+        qt_v = quantize(
+            v, config.v_precision, QuantMode.BLOCK, config.strategy, v_tile_k
+        )
+    else:
+        qt_v = quantize(v, config.v_precision, config.mode, config.strategy, bs.v)
     return qt_q, qt_k, qt_v, qm, vm, corr
 
 
@@ -489,13 +517,22 @@ def _qflash(key: _QAttnKey, q, k, v, bias):
 
 
 def _qflash_fwd(key: _QAttnKey, q, k, v, bias):
-    qt_q, qt_k, qt_v, qm, vm, corr = _quantize_operands(q, k, v, key.config)
+    v_tile_k = None
+    if key.config.pv_int8:
+        from umfa_tpu.ops.flash_fwd import _choose_block
+
+        v_tile_k = _choose_block(
+            key.block_sizes.block_k, k.shape[2], k.shape[3]
+        )
+    qt_q, qt_k, qt_v, qm, vm, corr = _quantize_operands(
+        q, k, v, key.config, v_tile_k
+    )
     out_dtype = jnp.dtype(key.out_dtype) if key.out_dtype else q.dtype
     out, lse = quantized_attention_forward(
         qt_q, qt_k, qt_v, bias, corr,
         causal=key.causal, window=key.window, scale=key.scale,
         block_sizes=key.block_sizes, out_dtype=out_dtype,
-        interpret=key.interpret,
+        interpret=key.interpret, pv_int8=key.config.pv_int8,
     )
     if vm is not None:
         # V-mean restoration: softmax rows sum to 1, so out = P·v' + vm.
