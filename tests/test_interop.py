@@ -1,0 +1,49 @@
+"""Foreign-framework interop (dlpack torch↔jax + torch-shaped SDPA entry).
+
+Parity: the reference's cross-framework buffer interop and torch SDPA
+override (SURVEY.md N5/N6 — functional role, not mechanism)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from umfa_tpu.ops.attention import reference_attention
+from umfa_tpu.utils.interop import from_torch, to_torch, torch_sdpa
+
+
+def test_roundtrip():
+    t = torch.randn(4, 8)
+    j = from_torch(t)
+    assert j.shape == (4, 8)
+    np.testing.assert_allclose(np.asarray(j), t.numpy(), rtol=1e-6)
+    t2 = to_torch(j)
+    np.testing.assert_allclose(t2.numpy(), t.numpy(), rtol=1e-6)
+
+
+def test_torch_sdpa_matches_torch(rng):
+    q = torch.randn(1, 2, 64, 64)
+    k = torch.randn(1, 2, 64, 64)
+    v = torch.randn(1, 2, 64, 64)
+    out = torch_sdpa(q, k, v, is_causal=True, interpret=True)
+    assert isinstance(out, torch.Tensor)
+    want = torch.nn.functional.scaled_dot_product_attention(
+        q, k, v, is_causal=True
+    )
+    np.testing.assert_allclose(
+        out.numpy(), want.numpy(), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_torch_sdpa_bool_mask(rng):
+    q = torch.randn(1, 2, 32, 64)
+    k = torch.randn(1, 2, 32, 64)
+    v = torch.randn(1, 2, 32, 64)
+    mask = torch.rand(1, 1, 32, 32) > 0.2
+    out = torch_sdpa(q, k, v, attn_mask=mask, interpret=True)
+    want = torch.nn.functional.scaled_dot_product_attention(
+        q, k, v, attn_mask=mask
+    )
+    np.testing.assert_allclose(out.numpy(), want.numpy(), atol=1e-4, rtol=1e-4)
