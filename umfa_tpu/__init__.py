@@ -31,7 +31,15 @@ from umfa_tpu.engine.config import (
 )
 from umfa_tpu.engine.stats import get_dispatch_stats, reset_dispatch_stats
 from umfa_tpu.ops.attention import flash_attention
+from umfa_tpu.ops.block_mask import (
+    BlockMask,
+    causal_block_mask,
+    make_block_mask,
+    segment_block_mask,
+    sliding_window_block_mask,
+)
 from umfa_tpu.ops.quant import quantize, dequantize, QuantizedTensor
+from umfa_tpu.ops.gemm import quantize_weight, quantized_matmul
 from umfa_tpu.ops.rope import apply_rope, rope_attention
 from umfa_tpu.ops.hadamard import hadamard_rotate
 from umfa_tpu.ops.mla import mla_decompress, sparse_indexer_scores
@@ -56,6 +64,13 @@ __all__ = [
     "quantize",
     "dequantize",
     "QuantizedTensor",
+    "BlockMask",
+    "make_block_mask",
+    "causal_block_mask",
+    "sliding_window_block_mask",
+    "segment_block_mask",
+    "quantize_weight",
+    "quantized_matmul",
     "apply_rope",
     "rope_attention",
     "hadamard_rotate",
