@@ -178,6 +178,8 @@ def _dkv_kernel(
     has_bias,
     has_map,
     has_fetch=False,
+    group=1,
+    nq_logical=None,
 ):
     refs = list(refs)
     fetch_ref = None
@@ -193,7 +195,14 @@ def _dkv_kernel(
     dk_ref, dv_ref, dk_scr, dv_scr = refs[idx:]
 
     ki = pl.program_id(2)
-    qi = pl.program_id(3)  # compacted step when has_fetch
+    inner = pl.program_id(3)  # compacted step / (group, qi) when group > 1
+    if group > 1:
+        # In-kernel GQA reduction: grid dim 1 is the KV head, the inner walk
+        # covers (query-head-in-group, q-block); dK/dV accumulate across the
+        # whole group in VMEM — no per-query-head gradient tensors in HBM.
+        qi = inner % nq_logical
+    else:
+        qi = inner
     k_start = ki * block_k
     if fetch_ref is not None:
         # fetch_q table is (Bm, Hm, nk, max_vis_q): indexed by (ki, step).
@@ -207,7 +216,7 @@ def _dkv_kernel(
     else:
         q_start = qi * block_q
 
-    @pl.when(qi == 0)
+    @pl.when(inner == 0)
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
@@ -220,9 +229,12 @@ def _dkv_kernel(
     if fetch_ref is not None:
         visible = jnp.logical_and(visible, fid_raw >= 0)
     elif map_ref is not None:
+        h_q = pl.program_id(1)
+        if group > 1:
+            h_q = h_q * group + inner // nq_logical
         typ = map_ref[
             pl.program_id(0) if map_ref.shape[0] > 1 else 0,
-            pl.program_id(1) if map_ref.shape[1] > 1 else 0,
+            h_q if map_ref.shape[1] > 1 else 0,
             qi, ki,
         ]
         visible = jnp.logical_and(visible, typ > 0)
@@ -271,7 +283,7 @@ def _dkv_kernel(
             precision=_mxu(q.dtype),
         )
 
-    @pl.when(qi == num_q_blocks - 1)
+    @pl.when(inner == num_q_blocks - 1)
     def _finalize():
         dk_ref[0, 0] = dk_scr[...]
         dv_ref[0, 0] = dv_scr[...]
@@ -723,22 +735,79 @@ def flash_attention_backward(
             interpret=interpret,
         )(*common_args)
 
-    # ---- dK/dV pass (per expanded head; GQA reduced below) ----
+    # ---- dK/dV pass ----
+    # With GQA (group > 1, static-mask paths) the group reduction happens
+    # IN-KERNEL: grid dim 1 is the KV head and the inner walk spans
+    # (query-head-in-group × q-blocks), so no per-query-head dK/dV tensors
+    # are materialized in HBM. The compacted-fetch path keeps the expanded
+    # form (fetch tables are per query head).
+    use_group_reduce = group > 1 and not has_fetch
+    if use_group_reduce:
+        dkv_inner = group * num_q_blocks
+        dkv_heads = num_kv_heads
+    else:
+        dkv_inner = fetch_q.shape[3] if has_fetch else num_q_blocks
+        dkv_heads = num_heads
     dkv_kernel = functools.partial(
         _dkv_kernel,
         scale=scale, causal=causal, window=window,
         block_q=block_q, block_k=block_k,
         seq_q=seq_q, seq_k=seq_k,
-        num_q_blocks=(
-            fetch_q.shape[3] if has_fetch else num_q_blocks
-        ),
+        num_q_blocks=dkv_inner,
         has_bias=has_bias, has_map=has_map,
         has_fetch=has_fetch,
+        group=group if use_group_reduce else 1,
+        nq_logical=num_q_blocks,
     )
-    dkv_grid = (
-        batch, num_heads, num_k_blocks,
-        fetch_q.shape[3] if has_fetch else num_q_blocks,
-    )
+    dkv_grid = (batch, dkv_heads, num_k_blocks, dkv_inner)
+
+    def group_specs():
+        """Specs for the in-kernel group-reduction layout: h = KV head,
+        inner j = (g, qi)."""
+        nq = num_q_blocks
+
+        def hq(h, j):
+            return h * group + j // nq
+
+        q_spec = pl.BlockSpec(
+            (1, 1, block_q, head_dim),
+            lambda b, h, i, j, *refs: (
+                b, hq(h, j), clamp_qi(i, j % nq), 0
+            ),
+        )
+        kv_spec = pl.BlockSpec(
+            (1, 1, block_k, head_dim),
+            lambda b, h, i, j, *refs: (b, h, i, 0),
+        )
+        row_spec = pl.BlockSpec(
+            (1, 1, block_q, _LANES),
+            lambda b, h, i, j, *refs: (
+                b, hq(h, j), clamp_qi(i, j % nq), 0
+            ),
+        )
+        ins = [q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec]
+        if has_bias:
+            bb, bh, bq_bcast = bias_meta
+            ins.append(
+                pl.BlockSpec(
+                    (1, 1, 1 if bq_bcast else block_q, block_k),
+                    lambda b, h, i, j, *refs: (
+                        b if bb > 1 else 0,
+                        hq(h, j) if bh > 1 else 0,
+                        0 if bq_bcast else clamp_qi(i, j % nq),
+                        i,
+                    ),
+                )
+            )
+        if has_map:
+            ins.append(
+                pl.BlockSpec(
+                    block_map.shape,
+                    lambda b, h, i, j, *refs: (0, 0, 0, 0),
+                    memory_space=pltpu.SMEM,
+                )
+            )
+        return ins
     dkv_out_specs = [
         pl.BlockSpec(
             (1, 1, block_k, head_dim), lambda b, h, i, j, *refs: (b, h, i, 0)
@@ -748,8 +817,8 @@ def flash_attention_backward(
         ),
     ]
     dkv_out_shape = [
-        jax.ShapeDtypeStruct((batch, num_heads, padded_sk, head_dim), jnp.float32),
-        jax.ShapeDtypeStruct((batch, num_heads, padded_sk, head_dim), jnp.float32),
+        jax.ShapeDtypeStruct((batch, dkv_heads, padded_sk, head_dim), jnp.float32),
+        jax.ShapeDtypeStruct((batch, dkv_heads, padded_sk, head_dim), jnp.float32),
     ]
     dkv_scratch = [
         pltpu.VMEM((block_k, head_dim), jnp.float32),
@@ -776,7 +845,7 @@ def flash_attention_backward(
         dk, dv = pl.pallas_call(
             dkv_kernel,
             grid=dkv_grid,
-            in_specs=specs("kq"),
+            in_specs=group_specs() if use_group_reduce else specs("kq"),
             out_specs=dkv_out_specs,
             out_shape=dkv_out_shape,
             scratch_shapes=dkv_scratch,
@@ -787,7 +856,7 @@ def flash_attention_backward(
     dq = dq[:, :, :seq_q]
     dk = dk[:, :, :seq_k]
     dv = dv[:, :, :seq_k]
-    if group > 1:
+    if group > 1 and not use_group_reduce:
         dk = dk.reshape(batch, num_kv_heads, group, seq_k, head_dim).sum(axis=2)
         dv = dv.reshape(batch, num_kv_heads, group, seq_k, head_dim).sum(axis=2)
     return dq, dk, dv
