@@ -75,6 +75,42 @@ def test_sharded_quantized(rng):
     assert err < 0.02
 
 
+def test_zigzag_shard_roundtrip(rng):
+    from umfa_tpu.parallel.ring import zigzag_shard, zigzag_unshard
+
+    x = jnp.asarray(rng.normal(0, 1, (1, 2, 64, 8)), jnp.float32)
+    y = zigzag_unshard(zigzag_shard(x, 4), 4)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_zigzag_ring_causal(rng):
+    # Zigzag layout balances causal work across the ring; results must match
+    # plain causal attention exactly after unsharding.
+    mesh = make_mesh(dp=1, sp=4, tp=2)
+    q, k, v = make_qkv(rng, 1, 2, 512, 512, 64)
+    attn = sharded_attention(
+        mesh, seq_axis="sp", causal=True, zigzag=True, interpret=True
+    )
+    out = attn(q, k, v)
+    want = reference_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4, rtol=1e-4)
+
+
+def test_zigzag_ring_grads(rng):
+    mesh = make_mesh(dp=1, sp=4, tp=1)
+    q, k, v = make_qkv(rng, 1, 2, 256, 256, 64)
+    attn = sharded_attention(
+        mesh, seq_axis="sp", causal=True, zigzag=True, interpret=True
+    )
+    got = jax.grad(lambda q: jnp.sum(attn(q, k, v) ** 2))(q)
+    want = jax.grad(
+        lambda q: jnp.sum(reference_attention(q, k, v, causal=True) ** 2)
+    )(q)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+    )
+
+
 def test_quantized_ring_attention(rng):
     from umfa_tpu.engine.config import QuantizationConfig
 

@@ -42,6 +42,46 @@ def merge_partials(o1, lse1, o2, lse2):
     return o.astype(o1.dtype), m + jnp.log(safe)
 
 
+def zigzag_shard(x: jax.Array, n: int, axis: int = 2) -> jax.Array:
+    """Reorder a sequence axis into zigzag layout for n ring devices: the
+    global sequence splits into 2n half-chunks and device i receives
+    (i, 2n-1-i) — balancing causal work across the ring (without it, device
+    n-1 attends everything while device 0 mostly idles). Apply BEFORE
+    shard_map; `zigzag_unshard` inverts it on outputs."""
+    s = x.shape[axis]
+    assert s % (2 * n) == 0, (s, n)
+    half = s // (2 * n)
+    order = []
+    for i in range(n):
+        order.extend(range(i * half, (i + 1) * half))
+        order.extend(range((2 * n - 1 - i) * half, (2 * n - i) * half))
+    return jnp.take(x, jnp.asarray(order), axis=axis)
+
+
+def zigzag_unshard(x: jax.Array, n: int, axis: int = 2) -> jax.Array:
+    """Inverse of zigzag_shard."""
+    s = x.shape[axis]
+    half = s // (2 * n)
+    order = []
+    for i in range(n):
+        order.extend(range(i * half, (i + 1) * half))
+        order.extend(range((2 * n - 1 - i) * half, (2 * n - i) * half))
+    inv = [0] * s
+    for dst, src in enumerate(order):
+        inv[src] = dst
+    return jnp.take(x, jnp.asarray(inv), axis=axis)
+
+
+def _global_positions(chunk_idx, n, s_loc, zigzag):
+    """Global token positions of the shard held by ring slot `chunk_idx`."""
+    if zigzag:
+        half = s_loc // 2
+        lo = chunk_idx * half + jnp.arange(half)
+        hi = (2 * n - 1 - chunk_idx) * half + jnp.arange(half)
+        return jnp.concatenate([lo, hi])
+    return chunk_idx * s_loc + jnp.arange(s_loc)
+
+
 def ring_flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -53,12 +93,15 @@ def ring_flash_attention(
     block_sizes: BlockSizes = BlockSizes(),
     interpret: bool = False,
     local_attention=None,
+    zigzag: bool = False,
 ):
     """Flash attention over a sequence sharded along `axis_name`.
 
     Must be called inside shard_map with q/k/v sequence dims sharded into
-    contiguous, axis-ordered chunks: device i holds tokens
-    [i*S_loc, (i+1)*S_loc). Returns the local output shard (B, H, S_loc, D).
+    axis-ordered chunks: contiguous (device i holds tokens
+    [i*S_loc, (i+1)*S_loc)) or, with zigzag=True, the `zigzag_shard` layout
+    (device i holds global half-chunks i and 2n-1-i — causal work balanced
+    across the ring). Returns the local output shard (B, H, S_loc, D).
 
     `local_attention(q, k, v, bias) -> (out, lse)` overrides the per-step
     kernel (e.g. the quantized fused kernel for a quantized ring).
@@ -68,19 +111,11 @@ def ring_flash_attention(
     batch, heads, s_loc, d = q.shape
 
     if causal:
-        # Per-step visibility is decided by a *traced* chunk index (which KV
-        # chunk this device currently holds), so it cannot pick a different
-        # kernel specialization per case (lax.switch over custom_vjp branches
-        # breaks JVP). Instead a single kernel call takes a step bias:
-        #   src > my  → all-masked (the step's merge weight and grads become
-        #               exactly zero),
-        #   src == my → causal tril within the chunk,
-        #   src < my  → zero bias (fully visible).
-        q_ids = jnp.arange(s_loc)[:, None]
-        k_ids = jnp.arange(s_loc)[None, :]
-        tril_bias = jnp.where(k_ids <= q_ids, 0.0, DEFAULT_MASK_VALUE).astype(
-            jnp.float32
-        )
+        # Per-step visibility depends on *traced* chunk indices (which KV
+        # chunk this device currently holds), so a single kernel call takes
+        # a step bias built from global token positions: fully-masked steps
+        # get zero merge weight and exactly zero gradients.
+        qpos = _global_positions(my_idx, n, s_loc, zigzag)
 
     o = jnp.zeros((batch, heads, s_loc, d), q.dtype)
     lse = jnp.full((batch, heads, s_loc), DEFAULT_MASK_VALUE, jnp.float32)
@@ -88,14 +123,13 @@ def ring_flash_attention(
 
     kv = (k, v)
     for step in range(n):
-        src = (my_idx - step) % n  # global chunk index currently held
+        src = (my_idx - step) % n  # ring slot of the chunk currently held
         kc, vc = kv
         if causal:
+            kpos = _global_positions(src, n, s_loc, zigzag)
             step_bias = jnp.where(
-                src > my_idx,
-                jnp.float32(DEFAULT_MASK_VALUE),
-                jnp.where(src == my_idx, tril_bias, jnp.zeros_like(tril_bias)),
-            )[None, None]
+                kpos[None, :] <= qpos[:, None], 0.0, DEFAULT_MASK_VALUE
+            ).astype(jnp.float32)[None, None]
         else:
             step_bias = None
         if local_attention is not None:

@@ -34,6 +34,7 @@ def sharded_attention(
     block_sizes: BlockSizes = BlockSizes(),
     interpret: bool = False,
     jit: bool = True,
+    zigzag: bool = False,
 ) -> Callable:
     """Build a sharded attention callable over `mesh`.
 
@@ -41,6 +42,9 @@ def sharded_attention(
       * B sharded over `data_axis`, H over `head_axis` (GQA: KV heads must
         divide the axis size), S over `seq_axis` (ring attention) or
         replicated per device.
+    zigzag=True (ring + causal) balances causal work across the ring: the
+    wrapper reorders the sequence into the zigzag layout before shard_map
+    and inverts it on the output.
     """
     qkv_spec = P(data_axis, head_axis, seq_axis, None)
     kv_spec = P(data_axis, head_axis, seq_axis, None)
@@ -77,7 +81,7 @@ def sharded_attention(
             return ring_flash_attention(
                 q, k, v, axis_name=seq_axis, causal=causal, scale=scale,
                 block_sizes=block_sizes, interpret=interpret,
-                local_attention=local_attention,
+                local_attention=local_attention, zigzag=zigzag,
             )
         return flash_attention(
             q, k, v, causal=causal, scale=scale,
@@ -90,4 +94,18 @@ def sharded_attention(
         in_specs=(qkv_spec, kv_spec, kv_spec),
         out_specs=qkv_spec,
     )
+
+    if zigzag:
+        assert seq_axis is not None, "zigzag requires a ring (seq_axis)"
+        from umfa_tpu.parallel.ring import zigzag_shard, zigzag_unshard
+
+        n = mesh.shape[seq_axis]
+        inner = fn
+
+        def fn(q, k, v):
+            out = inner(
+                zigzag_shard(q, n), zigzag_shard(k, n), zigzag_shard(v, n)
+            )
+            return zigzag_unshard(out, n)
+
     return jax.jit(fn) if jit else fn
