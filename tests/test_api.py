@@ -149,3 +149,29 @@ def test_explicit_quant_config_overrides_global(rng):
     want = reference_attention(q, k, v)
     err = np.linalg.norm(np.asarray(out) - want) / np.linalg.norm(want)
     assert err < 0.02  # int8-grade, not int4-grade
+
+
+def test_quantized_route_applies_block_mask(rng):
+    """API-level regression for VERDICT r1 weak #1: quantized route +
+    tile-aligned BlockMask must not silently attend everywhere."""
+    import jax.numpy as jnp
+    import numpy as np
+    from umfa_tpu.ops.attention import reference_attention
+    from umfa_tpu.ops.block_mask import make_block_mask
+    from umfa_tpu.ops.flash_fwd import BlockSizes
+    from umfa_tpu.utils.testing import make_qkv, rel_err
+
+    seq = 256
+    bs = BlockSizes(block_q=128, block_k=128)
+    q_ids = jnp.arange(seq)[:, None]
+    k_ids = jnp.arange(seq)[None, :]
+    mask = (q_ids // 128) == (k_ids // 128)
+    bm = make_block_mask(mask, seq, seq, block_sizes=bs)
+    assert bm.bias is None
+
+    q, k, v = make_qkv(rng, 1, 2, seq, seq, 64)
+    with umfa_tpu.use_quantization("int8", "row"):
+        out = umfa_tpu.attention(q, k, v, mask=bm, block_sizes=bs, interpret=True)
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+    want = reference_attention(q, k, v, bias[None, None])
+    assert rel_err(out, want) < 0.02

@@ -96,3 +96,52 @@ def test_quantized_tensor_is_pytree(rng):
     leaves, treedef = jax.tree_util.tree_flatten(qt)
     qt2 = jax.tree_util.tree_unflatten(treedef, leaves)
     np.testing.assert_array_equal(qt.values, qt2.values)
+
+
+def test_fused_row_quantizer_matches_jnp(rng):
+    """ops/quant_fused.quantize_rows_fused ≈ quantize(x - mean, ROW, SYM).
+
+    XLA rewrites divide-by-constant into reciprocal-multiply in the jnp
+    path, so scales can differ by 1 ulp and values by ±1 at exact
+    round-half ties; the STE contract only needs fwd/bwd to share the
+    STORED values+scales (true by construction)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from umfa_tpu.engine.config import Precision, QuantMode, QuantStrategy
+    from umfa_tpu.ops.quant import dequantize, quantize
+    from umfa_tpu.ops.quant_fused import quantize_rows_fused
+
+    x = jnp.asarray(rng.normal(0, 2, (2, 3, 300, 64)), jnp.float32)
+    mean = jnp.mean(x, axis=2, keepdims=True)
+    for prec in (Precision.INT8, Precision.INT4):
+        qt_f = quantize_rows_fused(x, mean, precision=prec, interpret=True)
+        qt_j = quantize(
+            x - mean, prec, QuantMode.ROW, QuantStrategy.SYMMETRIC
+        )
+        np.testing.assert_allclose(
+            np.asarray(qt_f.scales), np.asarray(qt_j.scales), rtol=1e-6
+        )
+        df = np.asarray(dequantize(qt_f, jnp.float32))
+        dj = np.asarray(dequantize(qt_j, jnp.float32))
+        np.testing.assert_allclose(df, dj, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_row_quantizer_no_mean(rng):
+    import jax.numpy as jnp
+    import numpy as np
+    from umfa_tpu.engine.config import Precision, QuantMode, QuantStrategy
+    from umfa_tpu.ops.quant import unpack_int4, quantize
+    from umfa_tpu.ops.quant_fused import quantize_rows_fused
+
+    x = jnp.asarray(rng.normal(0, 1, (1, 2, 256, 128)), jnp.bfloat16)
+    qt_f = quantize_rows_fused(x, None, precision=Precision.INT8, interpret=True)
+    qt_j = quantize(x, Precision.INT8, QuantMode.ROW, QuantStrategy.SYMMETRIC)
+    diff = np.abs(
+        np.asarray(qt_f.values, np.int32) - np.asarray(qt_j.values, np.int32)
+    )
+    assert diff.max() <= 1 and np.mean(diff != 0) < 2e-3
+    assert qt_f.orig_dtype == jnp.bfloat16
+    # INT4 packing layout matches unpack_int4.
+    qt_4 = quantize_rows_fused(x, None, precision=Precision.INT4, interpret=True)
+    vals = np.asarray(unpack_int4(qt_4.values))
+    assert vals.min() >= -8 and vals.max() <= 7

@@ -201,3 +201,258 @@ def test_quantized_lse_close_to_dense(rng):
     )
     _, lse_d = flash_attention_forward(q, k, v, interpret=True)
     np.testing.assert_allclose(lse_q, lse_d, atol=0.1, rtol=0.02)
+
+
+# ---- block-sparse masks through the quantized kernels (VERDICT r1 #1) ----
+
+def _block_diag_mask(seq, tile):
+    """Tile-aligned block-diagonal mask: no PARTIAL tiles → bias is None."""
+    q_ids = jnp.arange(seq)[:, None]
+    k_ids = jnp.arange(seq)[None, :]
+    return (q_ids // tile) == (k_ids // tile)
+
+
+def test_quantized_tile_aligned_block_mask(rng):
+    """Regression: the quantized route used to silently DROP tile-aligned
+    BlockMasks (bias=None when no tile is PARTIAL) and attend everywhere
+    (VERDICT r1 'What's weak #1')."""
+    from umfa_tpu.ops.block_mask import make_block_mask
+    from umfa_tpu.ops.flash_fwd import BlockSizes
+
+    seq = 512
+    bs = BlockSizes(block_q=128, block_k=128)
+    mask = _block_diag_mask(seq, 128)
+    bm = make_block_mask(mask, seq, seq, block_sizes=bs)
+    assert bm.bias is None, "repro requires a bias-free (tile-aligned) mask"
+
+    q, k, v = make_qkv(rng, 1, 2, seq, seq, 64)
+    out = quantized_flash_attention(
+        q, k, v, config=_cfg(Precision.INT8), block_mask=bm,
+        block_sizes=bs, interpret=True,
+    )
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+    want_masked = reference_attention(q, k, v, bias[None, None])
+    want_unmasked = reference_attention(q, k, v)
+    assert rel_err(out, want_masked) < INT8_REL_ERR
+    assert rel_err(out, want_unmasked) > 0.1  # mask actually applied
+
+
+def test_quantized_partial_block_mask(rng):
+    """Mask with PARTIAL tiles (non-tile-aligned): quantized kernel applies
+    the intra-tile bias AND skips fully-masked tiles."""
+    from umfa_tpu.ops.block_mask import make_block_mask
+    from umfa_tpu.ops.flash_fwd import BlockSizes
+
+    seq = 384
+    bs = BlockSizes(block_q=128, block_k=128)
+    mask = _block_diag_mask(seq, 96)  # 96 not a multiple of 128 → partials
+    bm = make_block_mask(mask, seq, seq, block_sizes=bs)
+    assert bm.bias is not None
+
+    q, k, v = make_qkv(rng, 1, 2, seq, seq, 64)
+    out = quantized_flash_attention(
+        q, k, v, config=_cfg(Precision.INT8), block_mask=bm,
+        block_sizes=bs, interpret=True,
+    )
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+    want = reference_attention(q, k, v, bias[None, None])
+    assert rel_err(out, want) < INT8_REL_ERR
+
+
+def test_quantized_block_mask_fully_masked_rows(rng):
+    """Fully-masked query rows return exactly 0 (not the restored V-mean) —
+    ADVICE r1: vm restoration must be gated on live rows."""
+    from umfa_tpu.ops.block_mask import make_block_mask
+    from umfa_tpu.ops.flash_fwd import BlockSizes
+
+    seq = 384
+    bs = BlockSizes(block_q=128, block_k=128)
+    q_ids = jnp.arange(seq)[:, None]
+    k_ids = jnp.arange(seq)[None, :]
+    mask = (q_ids < 256) & ((q_ids // 128) == (k_ids // 128))
+    bm = make_block_mask(mask, seq, seq, block_sizes=bs)
+
+    q, k, v = make_qkv(rng, 1, 2, seq, seq, 64)
+    cfg = _cfg(Precision.INT8)
+    assert cfg.smooth
+    out = quantized_flash_attention(
+        q, k, v, config=cfg, block_mask=bm, block_sizes=bs, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out)[:, :, 256:], 0.0)
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+    want = reference_attention(q, k, v, bias[None, None])
+    assert rel_err(out[:, :, :256], want[:, :, :256]) < INT8_REL_ERR
+
+
+def test_quantized_block_mask_grads(rng):
+    """STE backward consumes the block-sparse structure: grads match the
+    naive masked reference within the quantized-backward acceptance bounds."""
+    from umfa_tpu.ops.block_mask import make_block_mask
+    from umfa_tpu.ops.flash_fwd import BlockSizes
+
+    seq = 256
+    bs = BlockSizes(block_q=128, block_k=128)
+    mask = _block_diag_mask(seq, 128)
+    bm = make_block_mask(mask, seq, seq, block_sizes=bs)
+    q, k, v = make_qkv(rng, 1, 2, seq, seq, 64)
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)[None, None]
+
+    def loss_q(q, k, v):
+        out = quantized_flash_attention(
+            q, k, v, config=_cfg(Precision.INT8), block_mask=bm,
+            block_sizes=bs, interpret=True,
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(q, k, v):
+        out = reference_attention(q, k, v, bias)
+        return jnp.sum(out * jnp.cos(out))
+
+    got = jax.grad(loss_q, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        assert cosine(g, w) > BWD_COSINE_MIN
+        assert rel_err(g, w) < BWD_REL_ERR_MAX
+
+
+def test_quantized_block_mask_gqa(rng):
+    from umfa_tpu.ops.block_mask import make_block_mask
+    from umfa_tpu.ops.flash_fwd import BlockSizes
+
+    seq = 256
+    bs = BlockSizes(block_q=128, block_k=128)
+    mask = _block_diag_mask(seq, 128)
+    bm = make_block_mask(mask, seq, seq, block_sizes=bs)
+    q, k, v = make_qkv(rng, 1, 4, seq, seq, 64, kv_heads=2)
+    out = quantized_flash_attention(
+        q, k, v, config=_cfg(Precision.INT8), block_mask=bm,
+        block_sizes=bs, interpret=True,
+    )
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+    want = reference_attention(q, k, v, bias[None, None])
+    assert rel_err(out, want) < INT8_REL_ERR
+
+
+def test_hybrid_selects_block():
+    """HYBRID auto-selection picks BLOCK for high per-row variance inputs
+    (regression: the BLOCK branch used to be dead — VERDICT r1 #8)."""
+    from umfa_tpu.ops.quant import choose_mode
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (1, 2, 256, 64)), jnp.float32)
+    assert choose_mode(x) == QuantMode.TENSOR or choose_mode(x) == QuantMode.ROW
+    x_hot = x.at[:, :, 7].mul(1000.0)  # one outlier row → huge max/mean ratio
+    assert choose_mode(x_hot) == QuantMode.BLOCK
+
+
+# ---- quantized-NATIVE backward (VERDICT r1 #2) ----
+
+def _native_vs_dequant_dense(rng, cfg, *, causal=False, window=None,
+                             kv_heads=None, seq=256, heads=2, bias=None):
+    """The native int8 backward must reproduce the dequant-dense STE grads."""
+    from umfa_tpu.ops.flash_bwd import flash_attention_backward
+    from umfa_tpu.ops.quant import dequantize
+    from umfa_tpu.ops.quant_attention import (
+        _quantize_operands,
+        quantized_attention_forward,
+    )
+    from umfa_tpu.ops.quant_bwd import quantized_attention_backward
+
+    q, k, v = make_qkv(rng, 1, heads, seq, seq, 64, kv_heads=kv_heads)
+    qt_q, qt_k, qt_v, qm, vm, corr = _quantize_operands(q, k, v, cfg)
+    out, lse = quantized_attention_forward(
+        qt_q, qt_k, qt_v, bias, corr, causal=causal, window=window,
+        interpret=True,
+    )
+    do = jnp.asarray(rng.normal(0, 1, out.shape), jnp.float32)
+
+    corr_b = None
+    if qm is not None:
+        b, hq, _, d = qm.shape
+        hkv = qt_k.orig_shape[1]
+        grp = hq // hkv
+        k_i8 = qt_k.values
+        if cfg.k_precision == Precision.INT4:
+            from umfa_tpu.ops.quant import unpack_int4
+            k_i8 = unpack_int4(k_i8)
+        cint = jnp.einsum(
+            "bhgd,bhkd->bhgk",
+            qm.reshape(b, hkv, grp, d), k_i8.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        corr_b = (cint * jnp.swapaxes(qt_k.scales, -1, -2)).reshape(
+            b, hq, 1, seq
+        )
+    got = quantized_attention_backward(
+        qt_q, qt_k, qt_v, out, lse, do, qm, vm, corr_b, bias,
+        causal=causal, window=window, interpret=True,
+    )
+
+    q_dq = dequantize(qt_q, jnp.float32)
+    k_dq = dequantize(qt_k, jnp.float32)
+    v_dq = dequantize(qt_v, jnp.float32)
+    if qm is not None:
+        q_dq = q_dq + qm
+    if vm is not None:
+        v_dq = v_dq + vm
+    want = flash_attention_backward(
+        q_dq, k_dq, v_dq, out.astype(jnp.float32), lse, do, bias,
+        causal=causal, window=window,
+    )
+    for name, g, w in zip(("dq", "dk", "dv"), got, want):
+        # bf16 matmuls in the native kernels vs fp32-HIGHEST in the dense
+        # path: agreement to bf16 grade.
+        assert rel_err(g, w) < 5e-3, (name, rel_err(g, w))
+
+
+def test_native_backward_matches_dequant_dense(rng):
+    _native_vs_dequant_dense(rng, _cfg(Precision.INT8))
+
+
+def test_native_backward_causal(rng):
+    _native_vs_dequant_dense(rng, _cfg(Precision.INT8), causal=True)
+
+
+def test_native_backward_window(rng):
+    _native_vs_dequant_dense(rng, _cfg(Precision.INT8), window=(64, 0))
+
+
+def test_native_backward_int4(rng):
+    _native_vs_dequant_dense(rng, _cfg(Precision.INT4, mode=QuantMode.BLOCK))
+
+
+def test_native_backward_gqa(rng):
+    _native_vs_dequant_dense(rng, _cfg(Precision.INT8), heads=4, kv_heads=2)
+
+
+def test_native_backward_no_smooth(rng):
+    cfg = QuantizationConfig(smooth=False)
+    _native_vs_dequant_dense(rng, cfg)
+
+
+def test_native_backward_bias(rng):
+    rngb = np.random.default_rng(3)
+    bias = jnp.asarray(rngb.normal(0, 1, (1, 1, 256, 256)), jnp.float32)
+    _native_vs_dequant_dense(rng, _cfg(Precision.INT8), bias=bias)
+
+
+def test_quantized_grad_via_api_uses_native(rng):
+    """End-to-end jax.grad through the quantized op (symmetric → native
+    kernels) stays within the quantized-backward acceptance bounds."""
+    q, k, v = make_qkv(rng, 1, 2, 256, 256, 64)
+
+    def loss_q(q, k, v):
+        out = quantized_flash_attention(
+            q, k, v, config=_cfg(Precision.INT8), causal=True, interpret=True
+        )
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(q, k, v):
+        out = reference_attention(q, k, v, causal=True)
+        return jnp.sum(out * jnp.cos(out))
+
+    got = jax.grad(loss_q, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        assert cosine(g, w) > BWD_COSINE_MIN
+        assert rel_err(g, w) < BWD_REL_ERR_MAX

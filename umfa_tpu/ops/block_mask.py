@@ -89,7 +89,12 @@ def make_block_mask(
     if callable(mask):
         q_ids = jnp.arange(seq_q)[:, None]
         k_ids = jnp.arange(seq_k)[None, :]
-        bool_mask = jnp.asarray(mask(q_ids, k_ids), bool)[None, None]
+        # FlexAttention's mask_mod contract is broadcast-evaluated: a mask
+        # depending on one index only (e.g. lambda q, k: k < valid_len)
+        # returns a (1, Sk)/(Sq, 1) array — broadcast it to full shape.
+        bool_mask = jnp.broadcast_to(
+            jnp.asarray(mask(q_ids, k_ids), bool), (seq_q, seq_k)
+        )[None, None]
     else:
         bool_mask = jnp.asarray(mask, bool)
         while bool_mask.ndim < 4:

@@ -550,6 +550,12 @@ def flash_attention_backward(
     if padded_sq != seq_q:
         pad_rows = jnp.arange(padded_sq) >= seq_q
         lse_pad = jnp.where(pad_rows[None, None, :], -DEFAULT_MASK_VALUE, lse_pad)
+    # Fully-masked rows carry lse = DEFAULT_MASK_VALUE; exp(s - lse) would
+    # blow up to ~1 on their bias-masked entries. Their true grads are zero
+    # (out is a constant 0) — give them +1e30 like padding rows.
+    lse_pad = jnp.where(
+        lse_pad <= DEFAULT_MASK_VALUE * 0.5, -DEFAULT_MASK_VALUE, lse_pad
+    )
     delta_pad = _pad_seq(delta, block_q, 2)
     lse_b = jnp.broadcast_to(lse_pad[..., None], (*lse_pad.shape, _LANES))
     delta_b = jnp.broadcast_to(delta_pad[..., None], (*delta_pad.shape, _LANES))

@@ -135,7 +135,10 @@ def choose_mode(x: jax.Array, block_size: int = 64) -> QuantMode:
         return QuantMode.TENSOR
     if r < 16.0:
         return QuantMode.ROW
-    return QuantMode.ROW
+    # High per-row dynamic-range variance: per-block (sequence-tile) scales
+    # localize outlier rows (reference selects blockwise for high-variance
+    # tensors, metal_sdpa_backend.h:731-796).
+    return QuantMode.BLOCK
 
 
 def pack_int4(x_i8: jax.Array) -> jax.Array:

@@ -88,9 +88,13 @@ def _quant_fwd_kernel(
     asym: bool,
     has_corr: bool,
     has_bias: bool,
+    has_map: bool,
+    has_fetch: bool,
     pv_int8: bool,
     out_dtype,
 ):
+    refs = list(refs)
+    fetch_ref = refs.pop(0) if has_fetch else None
     idx = 0
 
     def nxt():
@@ -107,13 +111,27 @@ def _quant_fwd_kernel(
         )
     corr_ref = nxt() if has_corr else None
     bias_ref = nxt() if has_bias else None
+    map_ref = nxt() if has_map else None
     o_ref, lse_ref = nxt(), nxt()
     m_scr, l_scr, acc_scr = nxt(), nxt(), nxt()
 
     qi = pl.program_id(2)
-    ki = pl.program_id(3)
+    ki = pl.program_id(3)  # compacted step index when has_fetch
     q_start = qi * block_q
-    k_start = ki * block_k
+    if fetch_ref is not None:
+        # Compacted KV walk (see flash_fwd._fwd_kernel): the prefetched table
+        # holds the step's actual tile id; negative = padding (encoded as
+        # -(last_visible+1) so the index map aliases the previous tile and
+        # its DMA is elided).
+        fid_raw = fetch_ref[
+            pl.program_id(0) if fetch_ref.shape[0] > 1 else 0,
+            pl.program_id(1) if fetch_ref.shape[1] > 1 else 0,
+            qi, ki,
+        ]
+        fid = jnp.where(fid_raw >= 0, fid_raw, -fid_raw - 1)
+        k_start = fid * block_k
+    else:
+        k_start = ki * block_k
 
     @pl.when(ki == 0)
     def _init():
@@ -126,6 +144,16 @@ def _quant_fwd_kernel(
         block_q=block_q, block_k=block_k,
         causal=causal, window=window, seq_q=seq_q, seq_k=seq_k,
     )
+    if fetch_ref is not None:
+        visible = jnp.logical_and(visible, fid_raw >= 0)
+    elif map_ref is not None:
+        # Compiled block-sparse structure: 0 = skip tile entirely.
+        typ = map_ref[
+            pl.program_id(0) if map_ref.shape[0] > 1 else 0,
+            pl.program_id(1) if map_ref.shape[1] > 1 else 0,
+            qi, ki,
+        ]
+        visible = jnp.logical_and(visible, typ > 0)
 
     @pl.when(visible)
     def _compute():
@@ -246,6 +274,8 @@ def quantized_attention_forward(
     qt_v: QuantizedTensor,
     bias: Optional[jax.Array] = None,
     score_corr: Optional[jax.Array] = None,
+    block_map: Optional[jax.Array] = None,
+    fetch_ids: Optional[jax.Array] = None,
     *,
     causal: bool = False,
     window: Optional[tuple] = None,
@@ -258,7 +288,11 @@ def quantized_attention_forward(
     """Run the quantized fused kernel on pre-quantized operands.
 
     Returns (out, lse). Analogue of QuantizedAttention.forward with
-    externalLogsumexp (MFABridge+Quantized.swift:273-356).
+    externalLogsumexp (MFABridge+Quantized.swift:273-356); the reference's
+    quantized forward is mask-aware too (MFABridge+Quantized.swift:322-353).
+    `block_map`/`fetch_ids` are a compiled BlockMask's per-tile structure
+    (ops/block_mask.py): SKIP tiles cost neither compute nor DMA, and with
+    `fetch_ids` the KV walk is compacted to the max visible-tile count.
     """
     batch, num_heads, seq_q, _ = qt_q.orig_shape
     _, num_kv_heads, seq_k, head_dim = qt_k.orig_shape
@@ -300,36 +334,70 @@ def quantized_attention_forward(
     k_scales = pad_stat(_row_stat(qt_k.scales), block_k, 3)  # (B,H,1,Sk|1)
     v_scales = pad_stat(_row_stat(qt_v.scales), block_k, 3)
 
-    grid = (batch, num_heads, num_q_blocks, num_k_blocks)
+    has_fetch = block_map is not None and fetch_ids is not None
+    has_map = block_map is not None and not has_fetch
+    if block_map is not None:
+        assert block_map.shape[2] == num_q_blocks and (
+            block_map.shape[3] == num_k_blocks
+        ), (
+            f"block_map tiled {block_map.shape[2:]} but kernel uses "
+            f"({num_q_blocks}, {num_k_blocks}) — build the BlockMask with "
+            "the same block sizes"
+        )
+    if has_fetch:
+        assert fetch_ids.shape[2] == num_q_blocks, (
+            fetch_ids.shape, num_q_blocks
+        )
+    # Compacted KV walk: the inner grid dimension shrinks to the mask's max
+    # visible tile count (see flash_fwd).
+    num_steps = fetch_ids.shape[3] if has_fetch else num_k_blocks
+    grid = (batch, num_heads, num_q_blocks, num_steps)
+
+    def _ki_eff(b, h, qi, ki, refs):
+        """Effective KV tile for this grid step: decoded from the prefetched
+        compacted table when available (padding steps alias the previous
+        tile → DMA elided)."""
+        if not has_fetch:
+            return ki
+        fref = refs[0]
+        kk = fref[
+            b if fref.shape[0] > 1 else 0,
+            h if fref.shape[1] > 1 else 0,
+            qi, ki,
+        ]
+        return jnp.where(kk >= 0, kk, -kk - 1)
 
     dq_pack = 2 if qt_q.precision == Precision.INT4 else 1
     dk_pack = 2 if qt_k.precision == Precision.INT4 else 1
     dv_pack = 2 if qt_v.precision == Precision.INT4 else 1
 
     q_spec = pl.BlockSpec(
-        (1, 1, block_q, head_dim // dq_pack), lambda b, h, i, j: (b, h, i, 0)
+        (1, 1, block_q, head_dim // dq_pack),
+        lambda b, h, i, j, *refs: (b, h, i, 0),
     )
     k_spec = pl.BlockSpec(
         (1, 1, block_k, head_dim // dk_pack),
-        lambda b, h, i, j: (b, h // group, j, 0),
+        lambda b, h, i, j, *refs: (b, h // group, _ki_eff(b, h, i, j, refs), 0),
     )
     v_spec = pl.BlockSpec(
         (1, 1, block_k, head_dim // dv_pack),
-        lambda b, h, i, j: (b, h // group, j, 0),
+        lambda b, h, i, j, *refs: (b, h // group, _ki_eff(b, h, i, j, refs), 0),
     )
 
     def col_spec(stat):
         per_row = stat.shape[2] > 1
         return pl.BlockSpec(
             (1, 1, block_q if per_row else 1, 1),
-            lambda b, h, i, j, pr=per_row: (b, h, i if pr else 0, 0),
+            lambda b, h, i, j, *refs, pr=per_row: (b, h, i if pr else 0, 0),
         )
 
     def row_spec(stat):
         per_row = stat.shape[3] > 1
         return pl.BlockSpec(
             (1, 1, 1, block_k if per_row else 1),
-            lambda b, h, i, j, pr=per_row: (b, h // group, 0, j if pr else 0),
+            lambda b, h, i, j, *refs, pr=per_row: (
+                b, h // group, 0, _ki_eff(b, h, i, j, refs) if pr else 0
+            ),
         )
 
     in_specs = [q_spec, k_spec, v_spec,
@@ -352,7 +420,10 @@ def quantized_attention_forward(
         # Pre-scaled: the kernel adds it after the (scale-folded) q/k scales.
         corr = _pad_seq((score_corr * scale).astype(jnp.float32), block_k, 3)
         in_specs.append(
-            pl.BlockSpec((1, 1, 1, block_k), lambda b, h, i, j: (b, h, 0, j))
+            pl.BlockSpec(
+                (1, 1, 1, block_k),
+                lambda b, h, i, j, *refs: (b, h, 0, _ki_eff(b, h, i, j, refs)),
+            )
         )
         args.append(corr)
 
@@ -368,51 +439,62 @@ def quantized_attention_forward(
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, 1 if bq_bcast else block_q, block_k),
-                lambda b, h, i, j, bb=bb, bh=bh, bq=bq_bcast: (
+                lambda b, h, i, j, *refs, bb=bb, bh=bh, bq=bq_bcast: (
                     b if bb > 1 else 0,
                     h if bh > 1 else 0,
                     0 if bq else i,
-                    j,
+                    _ki_eff(b, h, i, j, refs),
                 ),
             )
         )
         args.append(bias)
 
-    out, lse = pl.pallas_call(
-        functools.partial(
-            _quant_fwd_kernel,
-            scale=scale, causal=causal, window=window,
-            block_q=block_q, block_k=block_k,
-            seq_q=seq_q, seq_k=seq_k,
-            num_k_blocks=num_k_blocks, head_dim=head_dim,
-            q_int4=dq_pack == 2, k_int4=dk_pack == 2, v_int4=dv_pack == 2,
-            asym=asym, has_corr=has_corr, has_bias=has_bias,
-            pv_int8=pv_int8,
-            out_dtype=jnp.dtype(out_dtype),
+    if has_map:
+        in_specs.append(
+            pl.BlockSpec(
+                block_map.shape,
+                lambda b, h, i, j, *refs: (0, 0, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        args.append(block_map)
+
+    kernel = functools.partial(
+        _quant_fwd_kernel,
+        scale=scale, causal=causal, window=window,
+        block_q=block_q, block_k=block_k,
+        seq_q=seq_q, seq_k=seq_k,
+        num_k_blocks=num_steps,  # finalize at the last (compacted) step
+        head_dim=head_dim,
+        q_int4=dq_pack == 2, k_int4=dk_pack == 2, v_int4=dv_pack == 2,
+        asym=asym, has_corr=has_corr, has_bias=has_bias,
+        has_map=has_map, has_fetch=has_fetch,
+        pv_int8=pv_int8,
+        out_dtype=jnp.dtype(out_dtype),
+    )
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim), lambda b, h, i, j, *refs: (b, h, i, 0)
         ),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_q, _LANES), lambda b, h, i, j: (b, h, i, 0)
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(
-                (batch, num_heads, padded_sq, head_dim), jnp.dtype(out_dtype)
-            ),
-            jax.ShapeDtypeStruct(
-                (batch, num_heads, padded_sq, _LANES), jnp.float32
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, head_dim), jnp.float32),
-        ],
+        pl.BlockSpec(
+            (1, 1, block_q, _LANES), lambda b, h, i, j, *refs: (b, h, i, 0)
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(
+            (batch, num_heads, padded_sq, head_dim), jnp.dtype(out_dtype)
+        ),
+        jax.ShapeDtypeStruct(
+            (batch, num_heads, padded_sq, _LANES), jnp.float32
+        ),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((block_q, _LANES), jnp.float32),
+        pltpu.VMEM((block_q, _LANES), jnp.float32),
+        pltpu.VMEM((block_q, head_dim), jnp.float32),
+    ]
+    common = dict(
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * num_heads * seq_q * seq_k * head_dim,
             bytes_accessed=q_vals.size + k_vals.size + v_vals.size
@@ -423,7 +505,28 @@ def quantized_attention_forward(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(*args)
+    )
+    if has_fetch:
+        out, lse = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            **common,
+        )(fetch_ids, *args)
+    else:
+        out, lse = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+            **common,
+        )(*args)
 
     out = out[:, :, :seq_q]
     if fp16_out:
@@ -443,7 +546,33 @@ class _QAttnKey:
     bias_grad: bool = False
 
 
-def _quantize_operands(q, k, v, config: QuantizationConfig, v_tile_k=None):
+def _corr_from_quantized(qm, qt_k):
+    """Q-mean score correction computed from the quantized K:
+    corr_j = qm · deq(k')_j = sk_j (qm · k_i8_j). Exact w.r.t. the STE
+    contract (the kernel's k̃ IS deq(k')) and needs no dequantized K in HBM —
+    one integer-weight GEMV."""
+    from umfa_tpu.ops.quant import unpack_int4
+
+    k_i8 = qt_k.values
+    if qt_k.precision == Precision.INT4:
+        k_i8 = unpack_int4(k_i8)
+    b, hq, _, d = qm.shape
+    hkv = qt_k.orig_shape[1]
+    grp = hq // hkv
+    cint = jnp.einsum(
+        "bhgd,bhkd->bhgk",
+        qm.reshape(b, hkv, grp, d).astype(jnp.float32),
+        k_i8.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return (cint * jnp.swapaxes(qt_k.scales, -1, -2)).reshape(
+        b, hq, 1, qt_k.orig_shape[2]
+    )
+
+
+def _quantize_operands(
+    q, k, v, config: QuantizationConfig, v_tile_k=None, interpret=False
+):
     """Runtime quantization with exact mean-smoothing compensation.
 
     Smoothing (SageAttention2-style, PAPERS.md; config.smooth):
@@ -471,11 +600,47 @@ def _quantize_operands(q, k, v, config: QuantizationConfig, v_tile_k=None):
 
     qm = vm = corr = None
     orig_dtypes = (q.dtype, k.dtype, v.dtype)
+    f32 = jnp.float32
+    km = None
     if config.smooth:
-        f32 = jnp.float32
         qm = jnp.mean(q.astype(f32), axis=2, keepdims=True)  # (B,Hq,1,D)
         km = jnp.mean(k.astype(f32), axis=2, keepdims=True)  # (B,Hkv,1,D)
         vm = jnp.mean(v.astype(f32), axis=2, keepdims=True)  # (B,Hkv,1,D)
+
+    # Fast path: the default ROW-symmetric config quantizes in ONE fused
+    # Pallas pass per operand (ops/quant_fused.py) — mean subtraction happens
+    # in registers, so the smoothed FP32 operand never exists in HBM, and the
+    # Q-mean correction is computed from the quantized K (exact w.r.t. STE).
+    use_fused = (
+        config.strategy == QuantStrategy.SYMMETRIC
+        and config.mode == QuantMode.ROW
+    )
+    if use_fused:
+        from umfa_tpu.ops.quant_fused import quantize_rows_fused
+
+        qt_q = quantize_rows_fused(
+            q, qm, precision=config.q_precision, interpret=interpret
+        )
+        qt_k = quantize_rows_fused(
+            k, km, precision=config.k_precision, interpret=interpret
+        )
+        if config.pv_int8:
+            assert v_tile_k is not None
+            v_in = v.astype(f32) - vm if vm is not None else v
+            qt_v = quantize(
+                v_in, config.v_precision, QuantMode.BLOCK, config.strategy,
+                v_tile_k,
+            )
+            qt_v.orig_dtype = jnp.dtype(orig_dtypes[2])
+        else:
+            qt_v = quantize_rows_fused(
+                v, vm, precision=config.v_precision, interpret=interpret
+            )
+        if config.smooth:
+            corr = _corr_from_quantized(qm, qt_k)
+        return qt_q, qt_k, qt_v, qm, vm, corr
+
+    if config.smooth:
         # Keep the smoothed operands in FP32: rounding (x − mean) back to
         # bf16 adds a second rounding error on top of quantization (int8
         # relerr 1.1% → 2.4% at seq 4K). The quantizer reads FP32 anyway;
@@ -516,16 +681,16 @@ def _quantize_operands(q, k, v, config: QuantizationConfig, v_tile_k=None):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _qflash(key: _QAttnKey, q, k, v, bias):
+def _qflash(key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, fetch_q):
     """Differentiable quantized attention returning (out, lse). LSE is
     merge-grade only when config.smooth is False — smoothing shifts LSE by a
     per-chunk constant, which is softmax-invariant locally but breaks
     cross-chunk online-softmax merges (ring attention disables smoothing)."""
-    (out, lse), _ = _qflash_fwd(key, q, k, v, bias)
+    (out, lse), _ = _qflash_fwd(key, q, k, v, bias, block_map, fetch_kv, fetch_q)
     return out, lse
 
 
-def _qflash_fwd(key: _QAttnKey, q, k, v, bias):
+def _qflash_fwd(key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, fetch_q):
     v_tile_k = None
     if key.config.pv_int8:
         from umfa_tpu.ops.flash_fwd import _choose_block
@@ -534,47 +699,77 @@ def _qflash_fwd(key: _QAttnKey, q, k, v, bias):
             key.block_sizes.block_k, k.shape[2], k.shape[3]
         )
     qt_q, qt_k, qt_v, qm, vm, corr = _quantize_operands(
-        q, k, v, key.config, v_tile_k
+        q, k, v, key.config, v_tile_k, interpret=key.interpret
     )
     out_dtype = jnp.dtype(key.out_dtype) if key.out_dtype else q.dtype
     out, lse = quantized_attention_forward(
-        qt_q, qt_k, qt_v, bias, corr,
+        qt_q, qt_k, qt_v, bias, corr, block_map, fetch_kv,
         causal=key.causal, window=key.window, scale=key.scale,
         block_sizes=key.block_sizes, out_dtype=out_dtype,
         interpret=key.interpret, pv_int8=key.config.pv_int8,
     )
     if vm is not None:
-        # V-mean restoration: softmax rows sum to 1, so out = P·v' + vm.
+        # V-mean restoration: softmax rows sum to 1, so out = P·v' + vm —
+        # except fully-masked rows (l == 0), where the kernel emits exact
+        # zeros and lse = mask value; those must stay 0 like the unquantized
+        # kernel's output.
         group = out.shape[1] // vm.shape[1]
         vm_q = jnp.repeat(vm, group, axis=1) if group > 1 else vm
-        out = (out.astype(jnp.float32) + vm_q).astype(out.dtype)
+        live = (lse > DEFAULT_MASK_VALUE * 0.5)[..., None]
+        out = jnp.where(
+            live, out.astype(jnp.float32) + vm_q, 0.0
+        ).astype(out.dtype)
     # Residuals stay quantized — the training-memory saving
     # (reference: 25-40%, README.md:100).
-    return (out, lse), (qt_q, qt_k, qt_v, qm, vm, bias, out, lse)
+    return (out, lse), (
+        qt_q, qt_k, qt_v, qm, vm, bias, block_map, fetch_kv, fetch_q, out, lse
+    )
 
 
 def _qflash_bwd(key: _QAttnKey, residuals, g):
-    qt_q, qt_k, qt_v, qm, vm, bias, out, lse = residuals
+    (qt_q, qt_k, qt_v, qm, vm, bias, block_map, fetch_kv, fetch_q, out,
+     lse) = residuals
     g, g_lse = g
-    # Deterministic re-dequantization (reference:
-    # MFABridge+Quantized.swift:425-440) + dense FP32 backward = STE.
-    # Consistency contract with the forward: the forward's scores were
-    # s = (q−qm)'·k' + qm·k' = q̃·k' with q̃ = deq(q')+qm and k' staying
-    # mean-smoothed, so LSE matches exactly; Ṽ = deq(v')+vm reproduces the
-    # returned out (= P·v' + vm). Jacobians of the mean shifts are identity.
-    q_dq = dequantize(qt_q, jnp.float32)
-    k_dq = dequantize(qt_k, jnp.float32)
-    v_dq = dequantize(qt_v, jnp.float32)
-    if qm is not None:
-        q_dq = q_dq + qm
-    if vm is not None:
-        v_dq = v_dq + vm
-    dq, dk, dv = flash_attention_backward(
-        q_dq, k_dq, v_dq, out.astype(jnp.float32), lse, g.astype(jnp.float32),
-        bias, g_lse,
-        causal=key.causal, window=key.window, scale=key.scale,
-        block_sizes=key.block_sizes, interpret=key.interpret,
+    # STE backward contract (reference: MFABridge+Quantized.swift:425-440,
+    # AGENTS.md:108-111): gradients of the fake-quant forward, i.e. the dense
+    # backward evaluated on q̃ = deq(q')+qm, k̃ = deq(k') (K-mean stays
+    # subtracted — softmax-invariant), ṽ = deq(v')+vm, with the quantized
+    # forward's LSE. Two implementations of the same values:
+    #   * SYMMETRIC (default): quantized-NATIVE kernels (ops/quant_bwd.py)
+    #     consume the int8/int4 residuals in-kernel — int8 S recompute at 2×
+    #     MXU rate, no dequantized copies in HBM.
+    #   * ASYMMETRIC: dequantize + dense backward (zero-point corrections in
+    #     the backward matmuls aren't worth the complexity for this rarer
+    #     config).
+    symmetric = all(
+        t.strategy == QuantStrategy.SYMMETRIC for t in (qt_q, qt_k, qt_v)
     )
+    if symmetric:
+        from umfa_tpu.ops.quant_bwd import quantized_attention_backward
+
+        corr = None
+        if qm is not None:
+            corr = _corr_from_quantized(qm, qt_k)
+        dq, dk, dv = quantized_attention_backward(
+            qt_q, qt_k, qt_v, out, lse, g,
+            qm, vm, corr, bias, g_lse, block_map, fetch_kv, fetch_q,
+            causal=key.causal, window=key.window, scale=key.scale,
+            block_sizes=key.block_sizes, interpret=key.interpret,
+        )
+    else:
+        q_dq = dequantize(qt_q, jnp.float32)
+        k_dq = dequantize(qt_k, jnp.float32)
+        v_dq = dequantize(qt_v, jnp.float32)
+        if qm is not None:
+            q_dq = q_dq + qm
+        if vm is not None:
+            v_dq = v_dq + vm
+        dq, dk, dv = flash_attention_backward(
+            q_dq, k_dq, v_dq, out.astype(jnp.float32), lse,
+            g.astype(jnp.float32), bias, g_lse, block_map, fetch_kv, fetch_q,
+            causal=key.causal, window=key.window, scale=key.scale,
+            block_sizes=key.block_sizes, interpret=key.interpret,
+        )
     if key.config.hadamard:
         from umfa_tpu.ops.hadamard import hadamard_rotate
 
@@ -587,6 +782,16 @@ def _qflash_bwd(key: _QAttnKey, residuals, g):
     elif key.bias_grad:
         from umfa_tpu.ops.flash_bwd import flash_attention_bias_grad
 
+        if symmetric:
+            # The opt-in bias-grad sweep still runs on dequantized operands
+            # (it is a separate full kernel pass either way).
+            q_dq = dequantize(qt_q, jnp.float32)
+            k_dq = dequantize(qt_k, jnp.float32)
+            v_dq = dequantize(qt_v, jnp.float32)
+            if qm is not None:
+                q_dq = q_dq + qm
+            if vm is not None:
+                v_dq = v_dq + vm
         b4 = bias
         while b4.ndim < 4:
             b4 = b4[None]
@@ -606,11 +811,15 @@ def _qflash_bwd(key: _QAttnKey, residuals, g):
         dbias = dbias.reshape(bias.shape).astype(bias.dtype)
     else:
         dbias = jnp.zeros_like(bias)
+    dmap = None if block_map is None else jnp.zeros_like(block_map)
+    dfkv = None if fetch_kv is None else jnp.zeros_like(fetch_kv)
+    dfq = None if fetch_q is None else jnp.zeros_like(fetch_q)
     return (
         dq.astype(qt_q.orig_dtype),
         dk.astype(qt_k.orig_dtype),
         dv.astype(qt_v.orig_dtype),
         dbias,
+        dmap, dfkv, dfq,
     )
 
 
@@ -627,6 +836,7 @@ def quantized_flash_attention(
     causal: bool = False,
     window: Optional[tuple] = None,
     scale: Optional[float] = None,
+    block_mask=None,
     block_sizes: BlockSizes = BlockSizes(),
     out_dtype=None,
     interpret: bool = False,
@@ -638,8 +848,28 @@ def quantized_flash_attention(
     Analogue of the reference route `MetalQuantizedFlashAttentionFn.apply`
     (metal_sdpa_backend.cpp:3139-3345): operands are quantized on device at
     runtime, the fused INT kernel produces output + LSE, and gradients flow
-    straight through the rounding in FP32.
+    straight through the rounding in FP32. `block_mask` is a compiled
+    ops.block_mask.BlockMask — SKIP tiles cost neither compute nor DMA in
+    forward AND backward (the reference's quantized path is mask-aware too:
+    MFABridge+Quantized.swift:504-536).
     """
+    block_map = fetch_kv = fetch_q = None
+    if block_mask is not None:
+        assert bias is None, "pass either bias or block_mask, not both"
+        bias = block_mask.bias
+        block_map = block_mask.block_map
+        fetch_kv = block_mask.fetch_kv
+        fetch_q = block_mask.fetch_q
+        # Forward AND backward tilings must match the compiled map.
+        block_sizes = dataclasses.replace(
+            block_sizes,
+            block_q=block_mask.block_q,
+            block_k=block_mask.block_k,
+            block_q_dq=block_mask.block_q,
+            block_k_dq=block_mask.block_k,
+            block_q_dkv=block_mask.block_q,
+            block_k_dkv=block_mask.block_k,
+        )
     if config.mode == QuantMode.HYBRID:
         from umfa_tpu.ops.quant import choose_mode
 
@@ -654,7 +884,7 @@ def quantized_flash_attention(
         interpret=interpret,
         bias_grad=bias_grad,
     )
-    out, lse = _qflash(key, q, k, v, bias)
+    out, lse = _qflash(key, q, k, v, bias, block_map, fetch_kv, fetch_q)
     if return_lse:
         return out, lse
     return out

@@ -75,8 +75,10 @@ def rope_attention(
     rope_autograd routes, metal_sdpa_backend.cpp:2883-3133). Rotation and
     attention stay inside one jit so XLA fuses the rotation into the kernel's
     input stream — no extra HBM round trip."""
+    from umfa_tpu.engine.stats import record_dispatch
     from umfa_tpu.ops.attention import flash_attention
 
+    record_dispatch("rope_fused")
     if cos is None or sin is None:
         cos, sin = rope_angles(
             max(q.shape[-2], k.shape[-2]), q.shape[-1], base=base

@@ -113,8 +113,16 @@ def _gemv_decode(q, cache, bias, scale):
         if k_scales is not None:
             k_scales = jnp.repeat(k_scales, g, axis=1)
             v_scales = jnp.repeat(v_scales, g, axis=1)
+    # fp32 inputs must not silently degrade to XLA's 1-pass bf16 matmul
+    # (repo invariant — see flash_fwd's HIGHEST-precision rule).
+    mxu = (
+        jax.lax.Precision.HIGHEST
+        if q.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     s = jnp.einsum(
-        "bhtd,bhsd->bhts", q.astype(jnp.float32), k.astype(jnp.float32)
+        "bhtd,bhsd->bhts", q.astype(jnp.float32), k.astype(jnp.float32),
+        precision=mxu,
     )
     if k_scales is not None:
         s = s * k_scales[..., 0][:, :, None, :]  # per-row K scale
@@ -122,5 +130,7 @@ def _gemv_decode(q, cache, bias, scale):
     p = jax.nn.softmax(s, axis=-1)
     if v_scales is not None:
         p = p * v_scales[..., 0][:, :, None, :]
-    out = jnp.einsum("bhts,bhsd->bhtd", p, v.astype(jnp.float32))
+    out = jnp.einsum(
+        "bhts,bhsd->bhtd", p, v.astype(jnp.float32), precision=mxu
+    )
     return out.astype(q.dtype)
