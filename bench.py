@@ -49,8 +49,10 @@ def main():
     int8 = jax.jit(
         lambda q, k, v: quantized_flash_attention(q, k, v, config=qcfg(Precision.INT8))
     )
+    # Default INT4 recipe: Q/K int4 + Hadamard (in-kernel), V int8.
+    cfg4 = QuantizationConfig.from_mode_string("int4")
     int4 = jax.jit(
-        lambda q, k, v: quantized_flash_attention(q, k, v, config=qcfg(Precision.INT4))
+        lambda q, k, v: quantized_flash_attention(q, k, v, config=cfg4)
     )
 
     iters = 8 if on_cpu else 64
@@ -76,6 +78,51 @@ def main():
     err4 = relerr(int4(q, k, v))
     errb = relerr(fused(q, k, v))
 
+    # Structured-input accuracy (LLM-activation-like: channel outliers +
+    # moderately peaked softmax). The i.i.d. Gaussian case above is the
+    # worst case for 4-bit score noise; the reference's "INT4 ≈ 2%" anchors
+    # the QUANTIZER round-trip ("error introduced by the quantisers",
+    # PERFORMANCE_RESULTS.md:47-52), reported separately below.
+    sr = np.random.default_rng(1)
+    qs_np = sr.normal(0, 1, (B, H, S, D))
+    ks_np = sr.normal(0, 1, (B, H, S, D))
+    ch = sr.choice(D, 4, replace=False)
+    qs_np[..., ch] *= 8.0
+    ks_np[..., ch] *= 8.0
+    s_std = float(
+        np.einsum("bhqd,bhkd->bhqk", qs_np[:1, :1], ks_np[:1, :1]).std()
+    ) / np.sqrt(D)
+    f = np.sqrt(0.5 / s_std)
+    qs = jnp.asarray(qs_np * f, dtype)
+    ks = jnp.asarray(ks_np * f, dtype)
+    vs = jnp.asarray(sr.normal(0, 1, (B, H, S, D)), dtype)
+    want_s = np.asarray(
+        reference_attention(
+            qs.astype(jnp.float32), ks.astype(jnp.float32), vs.astype(jnp.float32)
+        )
+    )
+
+    def relerr_s(x):
+        x = np.asarray(x, np.float32)
+        return float(np.linalg.norm(x - want_s) / np.linalg.norm(want_s))
+
+    err8_s = relerr_s(int8(qs, ks, vs))
+    err4_s = relerr_s(int4(qs, ks, vs))
+
+    # Quantizer-level round-trip error (the reference's accuracy metric).
+    from umfa_tpu.engine.config import QuantStrategy
+    from umfa_tpu.ops.quant import dequantize, quantize
+
+    def roundtrip_relerr(x, prec):
+        qt = quantize(x, prec, QuantMode.ROW, QuantStrategy.SYMMETRIC)
+        xr = np.asarray(dequantize(qt, jnp.float32))
+        xf = np.asarray(x, np.float32)
+        return float(np.linalg.norm(xr - xf) / np.linalg.norm(xf))
+
+    uni = jnp.asarray(rng.uniform(-1, 1, (1, 1, 1024, 64)), jnp.float32)
+    rt8 = roundtrip_relerr(uni, Precision.INT8)
+    rt4 = roundtrip_relerr(uni, Precision.INT4)
+
     def tflops(t):
         return flops / t / 1e12
 
@@ -83,8 +130,15 @@ def main():
         "shape": [B, H, S, D],
         "bf16_xla_sdpa": {"ms": t_sdpa * 1e3, "tflops": tflops(t_sdpa)},
         "bf16_fused": {"ms": t_fused * 1e3, "tflops": tflops(t_fused), "relerr": errb},
-        "int8_fused": {"ms": t_int8 * 1e3, "tflops": tflops(t_int8), "relerr": err8},
-        "int4_fused": {"ms": t_int4 * 1e3, "tflops": tflops(t_int4), "relerr": err4},
+        "int8_fused": {
+            "ms": t_int8 * 1e3, "tflops": tflops(t_int8),
+            "relerr_iid": err8, "relerr_struct": err8_s,
+        },
+        "int4_fused": {
+            "ms": t_int4 * 1e3, "tflops": tflops(t_int4),
+            "relerr_iid": err4, "relerr_struct": err4_s,
+        },
+        "quantizer_roundtrip_relerr": {"int8": rt8, "int4": rt4},
         "backend": jax.default_backend(),
     }
     print(json.dumps(details, indent=2), file=sys.stderr)

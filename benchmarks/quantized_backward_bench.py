@@ -27,7 +27,8 @@ def main():
     from umfa_tpu.utils.timing import attention_flops, time_op
 
     rng = np.random.default_rng(0)
-    B, H, S, D = 1, 8, 2048, 64
+    B, H, D = 1, 8, 64
+    S = int(os.environ.get("UMFA_BWD_BENCH_SEQ", "4096"))
     dt = jnp.bfloat16
     q = jnp.asarray(rng.normal(0, 1, (B, H, S, D)), dt)
     k = jnp.asarray(rng.normal(0, 1, (B, H, S, D)), dt)

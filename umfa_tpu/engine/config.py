@@ -94,6 +94,15 @@ class QuantizationConfig:
     @staticmethod
     def from_mode_string(precision: str, mode: str = "row") -> "QuantizationConfig":
         p = Precision(precision.lower())
+        if p == Precision.INT4:
+            # Default INT4 recipe (SageAttention2-class, PAPERS.md): Q/K INT4
+            # with Hadamard outlier smoothing, V kept at INT8 — INT4 V error
+            # lands directly on the output, while INT4 Q/K error is softmax-
+            # attenuated. Pass an explicit QuantizationConfig for all-INT4.
+            return QuantizationConfig(
+                q_precision=p, k_precision=p, v_precision=Precision.INT8,
+                mode=QuantMode(mode.lower()), hadamard=True,
+            )
         return QuantizationConfig(
             q_precision=p, k_precision=p, v_precision=p, mode=QuantMode(mode.lower())
         )

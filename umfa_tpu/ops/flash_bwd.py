@@ -124,8 +124,7 @@ def _dq_kernel(
         ]
         visible = jnp.logical_and(visible, typ > 0)
 
-    @pl.when(visible)
-    def _compute():
+    def _do_update(apply_mask: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -133,15 +132,14 @@ def _dq_kernel(
         lse = lse_ref[0, 0][:, 0:1]  # (block_q, 1)
         delta = delta_ref[0, 0][:, 0:1]  # (block_q, 1)
 
-        masked = causal or window is not None or bool(seq_k % block_k)
         masked_args = None
-        if masked:
+        if apply_mask:
             mask = _intra_block_mask(
                 q_start, k_start,
                 block_q=block_q, block_k=block_k,
                 causal=causal, window=window, seq_k=seq_k,
             )
-            masked_args = (partial, mask)
+            masked_args = (jnp.bool_(True), mask)
         bias_blk = bias_ref[0, 0] if bias_ref is not None else None
         p = _recompute_p(q, k, lse, bias_blk, scale=scale, masked_args=masked_args)
 
@@ -159,6 +157,21 @@ def _dq_kernel(
             preferred_element_type=jnp.float32,
             precision=_mxu(k.dtype),
         )
+
+    masked = causal or window is not None or bool(seq_k % block_k)
+    if masked:
+        # Interior tiles skip the VPU mask work (see flash_fwd._fwd_kernel).
+        @pl.when(jnp.logical_and(visible, partial))
+        def _compute_masked():
+            _do_update(True)
+
+        @pl.when(jnp.logical_and(visible, jnp.logical_not(partial)))
+        def _compute_full():
+            _do_update(False)
+    else:
+        @pl.when(visible)
+        def _compute():
+            _do_update(False)
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
@@ -239,8 +252,7 @@ def _dkv_kernel(
         ]
         visible = jnp.logical_and(visible, typ > 0)
 
-    @pl.when(visible)
-    def _compute():
+    def _do_update(apply_mask: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -248,15 +260,14 @@ def _dkv_kernel(
         lse = lse_ref[0, 0][:, 0:1]
         delta = delta_ref[0, 0][:, 0:1]
 
-        masked = causal or window is not None or bool(seq_k % block_k)
         masked_args = None
-        if masked:
+        if apply_mask:
             mask = _intra_block_mask(
                 q_start, k_start,
                 block_q=block_q, block_k=block_k,
                 causal=causal, window=window, seq_k=seq_k,
             )
-            masked_args = (partial, mask)
+            masked_args = (jnp.bool_(True), mask)
         bias_blk = bias_ref[0, 0] if bias_ref is not None else None
         p = _recompute_p(q, k, lse, bias_blk, scale=scale, masked_args=masked_args)
 
@@ -282,6 +293,21 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
             precision=_mxu(q.dtype),
         )
+
+    masked = causal or window is not None or bool(seq_k % block_k)
+    if masked:
+        # Interior tiles skip the VPU mask work (see flash_fwd._fwd_kernel).
+        @pl.when(jnp.logical_and(visible, partial))
+        def _compute_masked():
+            _do_update(True)
+
+        @pl.when(jnp.logical_and(visible, jnp.logical_not(partial)))
+        def _compute_full():
+            _do_update(False)
+    else:
+        @pl.when(visible)
+        def _compute():
+            _do_update(False)
 
     @pl.when(inner == num_q_blocks - 1)
     def _finalize():

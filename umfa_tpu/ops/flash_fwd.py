@@ -230,8 +230,7 @@ def _fwd_kernel(
         ]
         visible = jnp.logical_and(visible, typ > 0)
 
-    @pl.when(visible)
-    def _compute():
+    def _do_update(apply_mask: bool):
         q = q_ref[0, 0]  # (block_q, d)
         k = k_ref[0, 0]  # (block_k, d)
         v = v_ref[0, 0]  # (block_k, d)
@@ -255,8 +254,7 @@ def _fwd_kernel(
         if bias_ref is not None:
             s = s + bias_ref[0, 0].astype(jnp.float32)
 
-        masked = causal or window is not None or bool(seq_k % block_k)
-        if masked:
+        if apply_mask:
             mask = _intra_block_mask(
                 q_start,
                 k_start,
@@ -266,8 +264,7 @@ def _fwd_kernel(
                 window=window,
                 seq_k=seq_k,
             )
-            keep = jnp.logical_or(jnp.logical_not(partial), mask)
-            s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[:, 0:1]  # (block_q, 1)
         l_prev = l_scr[:, 0:1]
@@ -276,9 +273,9 @@ def _fwd_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)  # (block_q, block_k) FP32
-        if masked:
+        if apply_mask:
             # Rows fully masked in this block would otherwise get p = exp(0).
-            p = jnp.where(keep, p, 0.0)
+            p = jnp.where(mask, p, 0.0)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -291,6 +288,24 @@ def _fwd_kernel(
             precision=mxu,
         )
         acc_scr[...] = acc_scr[...] * alpha + pv
+
+    masked = causal or window is not None or bool(seq_k % block_k)
+    if masked:
+        # Runtime split: interior (fully-visible) tiles skip all VPU mask
+        # work — iota, compares, selects on a (block_q, block_k) tile — which
+        # is pure overhead on the ~60% of causal tiles that are not on the
+        # diagonal (VERDICT r1: causal at ~65% of its visible-tile ceiling).
+        @pl.when(jnp.logical_and(visible, partial))
+        def _compute_masked():
+            _do_update(True)
+
+        @pl.when(jnp.logical_and(visible, jnp.logical_not(partial)))
+        def _compute_full():
+            _do_update(False)
+    else:
+        @pl.when(visible)
+        def _compute():
+            _do_update(False)
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():

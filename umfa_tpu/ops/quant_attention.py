@@ -155,8 +155,7 @@ def _quant_fwd_kernel(
         ]
         visible = jnp.logical_and(visible, typ > 0)
 
-    @pl.when(visible)
-    def _compute():
+    def _do_update(apply_mask: bool):
         qv = q_ref[0, 0]
         kv = k_ref[0, 0]
         if q_int4:
@@ -193,15 +192,13 @@ def _quant_fwd_kernel(
         if bias_ref is not None:
             s = s + bias_ref[0, 0].astype(jnp.float32)
 
-        masked = causal or window is not None or bool(seq_k % block_k)
-        if masked:
+        if apply_mask:
             mask = _intra_block_mask(
                 q_start, k_start,
                 block_q=block_q, block_k=block_k,
                 causal=causal, window=window, seq_k=seq_k,
             )
-            keep = jnp.logical_or(jnp.logical_not(partial), mask)
-            s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_scr[:, 0:1]
         l_prev = l_scr[:, 0:1]
@@ -209,8 +206,8 @@ def _quant_fwd_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
-        if masked:
-            p = jnp.where(keep, p, 0.0)
+        if apply_mask:
+            p = jnp.where(mask, p, 0.0)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -246,6 +243,21 @@ def _quant_fwd_kernel(
                 corr = jnp.sum(p_scaled * vzp, axis=-1, keepdims=True)
                 pv = pv - corr
         acc_scr[...] = acc_scr[...] * alpha + pv
+
+    masked = causal or window is not None or bool(seq_k % block_k)
+    if masked:
+        # Interior tiles skip the VPU mask work (see flash_fwd._fwd_kernel).
+        @pl.when(jnp.logical_and(visible, partial))
+        def _compute_masked():
+            _do_update(True)
+
+        @pl.when(jnp.logical_and(visible, jnp.logical_not(partial)))
+        def _compute_full():
+            _do_update(False)
+    else:
+        @pl.when(visible)
+        def _compute():
+            _do_update(False)
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
@@ -590,7 +602,17 @@ def _quantize_operands(
     """
     from umfa_tpu.ops.hadamard import hadamard_rotate
 
-    if config.hadamard:
+    # Fast path: the default ROW-symmetric config quantizes in ONE fused
+    # Pallas pass per operand (ops/quant_fused.py) — Hadamard rotation AND
+    # mean subtraction happen in registers, so neither the rotated nor the
+    # smoothed operand ever exists in HBM, and the Q-mean correction is
+    # computed from the quantized K (exact w.r.t. STE).
+    use_fused = (
+        config.strategy == QuantStrategy.SYMMETRIC
+        and config.mode == QuantMode.ROW
+    )
+
+    if config.hadamard and not use_fused:
         # FWHT is orthogonal: QK^T is invariant under rotating both Q and K,
         # so only the quantization error changes (reference: ConvRot,
         # AGENTS.md:140-149). V is NOT rotated (PV is not an inner product
@@ -607,22 +629,22 @@ def _quantize_operands(
         km = jnp.mean(k.astype(f32), axis=2, keepdims=True)  # (B,Hkv,1,D)
         vm = jnp.mean(v.astype(f32), axis=2, keepdims=True)  # (B,Hkv,1,D)
 
-    # Fast path: the default ROW-symmetric config quantizes in ONE fused
-    # Pallas pass per operand (ops/quant_fused.py) — mean subtraction happens
-    # in registers, so the smoothed FP32 operand never exists in HBM, and the
-    # Q-mean correction is computed from the quantized K (exact w.r.t. STE).
-    use_fused = (
-        config.strategy == QuantStrategy.SYMMETRIC
-        and config.mode == QuantMode.ROW
-    )
     if use_fused:
         from umfa_tpu.ops.quant_fused import quantize_rows_fused
 
+        if config.hadamard and config.smooth:
+            # Means feed the kernel's post-rotation subtraction: rotation is
+            # linear over the sequence, so mean(Hx) = H mean(x). Downstream
+            # (corr, residual qm for the backward) lives in rotated space.
+            qm = hadamard_rotate(qm)
+            km = hadamard_rotate(km)
         qt_q = quantize_rows_fused(
-            q, qm, precision=config.q_precision, interpret=interpret
+            q, qm, precision=config.q_precision,
+            hadamard=config.hadamard, interpret=interpret,
         )
         qt_k = quantize_rows_fused(
-            k, km, precision=config.k_precision, interpret=interpret
+            k, km, precision=config.k_precision,
+            hadamard=config.hadamard, interpret=interpret,
         )
         if config.pv_int8:
             assert v_tile_k is not None

@@ -151,8 +151,7 @@ def _q_dq_kernel(
         ]
         visible = jnp.logical_and(visible, typ > 0)
 
-    @pl.when(visible)
-    def _compute():
+    def _do_update(apply_mask: bool):
         q_i8 = q_ref[0, 0]
         k_i8 = k_ref[0, 0]
         v_i8 = v_ref[0, 0]
@@ -169,15 +168,14 @@ def _q_dq_kernel(
         sk_raw = ks_ref[0, 0]   # (1, block_k)|(1, 1)
         sv_raw = vs_ref[0, 0]
 
-        masked = causal or window is not None or bool(seq_k % block_k)
         masked_args = None
-        if masked:
+        if apply_mask:
             mask = _intra_block_mask(
                 q_start, k_start,
                 block_q=block_q, block_k=block_k,
                 causal=causal, window=window, seq_k=seq_k,
             )
-            masked_args = (partial, mask)
+            masked_args = (jnp.bool_(True), mask)
         corr_blk = corr_ref[0, 0] if corr_ref is not None else None
         bias_blk = bias_ref[0, 0] if bias_ref is not None else None
         p = _recompute_p_int(
@@ -201,6 +199,21 @@ def _q_dq_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    masked = causal or window is not None or bool(seq_k % block_k)
+    if masked:
+        # Interior tiles skip the VPU mask work (see flash_fwd._fwd_kernel).
+        @pl.when(jnp.logical_and(visible, partial))
+        def _compute_masked():
+            _do_update(True)
+
+        @pl.when(jnp.logical_and(visible, jnp.logical_not(partial)))
+        def _compute_full():
+            _do_update(False)
+    else:
+        @pl.when(visible)
+        def _compute():
+            _do_update(False)
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
@@ -290,8 +303,7 @@ def _q_dkv_kernel(
         ]
         visible = jnp.logical_and(visible, typ > 0)
 
-    @pl.when(visible)
-    def _compute():
+    def _do_update(apply_mask: bool):
         q_i8 = q_ref[0, 0]
         k_i8 = k_ref[0, 0]
         v_i8 = v_ref[0, 0]
@@ -308,15 +320,14 @@ def _q_dkv_kernel(
         sk_raw = ks_ref[0, 0]
         sv_raw = vs_ref[0, 0]
 
-        masked = causal or window is not None or bool(seq_k % block_k)
         masked_args = None
-        if masked:
+        if apply_mask:
             mask = _intra_block_mask(
                 q_start, k_start,
                 block_q=block_q, block_k=block_k,
                 causal=causal, window=window, seq_k=seq_k,
             )
-            masked_args = (partial, mask)
+            masked_args = (jnp.bool_(True), mask)
         corr_blk = corr_ref[0, 0] if corr_ref is not None else None
         bias_blk = bias_ref[0, 0] if bias_ref is not None else None
         p = _recompute_p_int(
@@ -348,6 +359,21 @@ def _q_dkv_kernel(
         if qm_ref is not None:
             colsum = jnp.sum(ds, axis=0, keepdims=True)  # (1, block_k)
             dk_scr[...] += scale * colsum.T * qm_ref[0, 0]
+
+    masked = causal or window is not None or bool(seq_k % block_k)
+    if masked:
+        # Interior tiles skip the VPU mask work (see flash_fwd._fwd_kernel).
+        @pl.when(jnp.logical_and(visible, partial))
+        def _compute_masked():
+            _do_update(True)
+
+        @pl.when(jnp.logical_and(visible, jnp.logical_not(partial)))
+        def _compute_full():
+            _do_update(False)
+    else:
+        @pl.when(visible)
+        def _compute():
+            _do_update(False)
 
     @pl.when(inner == num_q_blocks - 1)
     def _finalize():

@@ -37,15 +37,25 @@ from umfa_tpu.ops.flash_fwd import _pad_seq, _round_up
 from umfa_tpu.ops.quant import QuantizedTensor
 
 
-def _quant_rows_kernel(*refs, qmax, int4, has_mean, head_dim):
-    if has_mean:
-        x_ref, mean_ref, vals_ref, scales_ref = refs
-    else:
-        x_ref, vals_ref, scales_ref = refs
-        mean_ref = None
+def _quant_rows_kernel(*refs, qmax, int4, has_mean, has_hadamard, head_dim):
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    h_ref = refs.pop(0) if has_hadamard else None
+    mean_ref = refs.pop(0) if has_mean else None
+    vals_ref, scales_ref = refs
     x = x_ref[0, 0].astype(jnp.float32)  # (block_s, D)
+    if h_ref is not None:
+        # Hadamard rotation as one small MXU matmul (x @ H, H = D x D with
+        # entries ±1/sqrt(D)) — the reference's ConvRot outlier smoothing
+        # (AGENTS.md:140-149) fused into the quantizer at zero HBM cost.
+        x = jax.lax.dot_general(
+            x, h_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     if mean_ref is not None:
-        x = x - mean_ref[0, 0]  # (1, D) channel mean, fp32
+        x = x - mean_ref[0, 0]  # (1, D) channel mean (rotated space), fp32
     absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)  # (block_s, 1)
     # Exact divisions (not reciprocal-multiplies): determinism contract — the
     # STE backward re-derives P from these exact values, and tests assert
@@ -61,8 +71,22 @@ def _quant_rows_kernel(*refs, qmax, int4, has_mean, head_dim):
         vals_ref[0, 0] = packed.astype(jnp.int8)
     else:
         vals_ref[0, 0] = q.astype(jnp.int8)
-    # Transposed scale layout: lane dim = sequence tile.
-    scales_ref[0, 0] = scale.reshape(1, -1)
+    # Transposed scale layout: the (block_s, 1) column folds row-major into
+    # (block_s/128, 128) — sublane×lane tiled, Mosaic-legal (a (1, block_s)
+    # row block would violate the (8, 128) divisibility rule).
+    scales_ref[0, 0, 0] = scale.reshape(-1, 128)
+
+
+def hadamard_matrix(n: int, dtype=jnp.float32) -> jax.Array:
+    """Normalized Sylvester-Hadamard matrix (entries ±1/sqrt(n)); matches
+    ops/hadamard.hadamard_rotate's transform."""
+    import numpy as np
+
+    assert n & (n - 1) == 0, f"{n} must be a power of two"
+    h = np.array([[1.0]])
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return jnp.asarray(h * (n**-0.5), dtype)
 
 
 def quantize_rows_fused(
@@ -71,14 +95,17 @@ def quantize_rows_fused(
     *,
     precision: Precision = Precision.INT8,
     block_s: int = 256,
+    hadamard: bool = False,
     interpret: bool = False,
 ) -> QuantizedTensor:
     """ROW-wise symmetric quantization in one fused pass.
 
     x: (B, H, S, D). mean: optional (B, H, 1, D) channel mean subtracted in
-    registers before quantization (mean smoothing). Returns a QuantizedTensor
-    whose `orig_shape`/`orig_dtype` describe x (pre-subtraction), matching
-    `quantize(x - mean, ...)` up to the removed double-rounding.
+    registers before quantization (mean smoothing); when `hadamard` is set,
+    the kernel rotates x in registers FIRST, so `mean` must be given in the
+    rotated space (mean(Hx) = H mean(x)). Returns a QuantizedTensor whose
+    `orig_shape`/`orig_dtype` describe x (pre-subtraction), matching
+    `quantize(rotate(x) - mean, ...)` up to the removed double-rounding.
     """
     batch, heads, seq, head_dim = x.shape
     interpret = interpret or jax.default_backend() == "cpu"
@@ -96,6 +123,11 @@ def quantize_rows_fused(
         )
     ]
     args = [x_pad]
+    if hadamard:
+        in_specs.append(
+            pl.BlockSpec((head_dim, head_dim), lambda b, h, i: (0, 0))
+        )
+        args.append(hadamard_matrix(head_dim))
     has_mean = mean is not None
     if has_mean:
         in_specs.append(
@@ -106,7 +138,8 @@ def quantize_rows_fused(
     vals, scales_t = pl.pallas_call(
         functools.partial(
             _quant_rows_kernel,
-            qmax=qmax, int4=int4, has_mean=has_mean, head_dim=head_dim,
+            qmax=qmax, int4=int4, has_mean=has_mean,
+            has_hadamard=hadamard, head_dim=head_dim,
         ),
         grid=grid,
         in_specs=in_specs,
@@ -115,14 +148,19 @@ def quantize_rows_fused(
                 (1, 1, block_s, head_dim // (2 if int4 else 1)),
                 lambda b, h, i: (b, h, i, 0),
             ),
-            pl.BlockSpec((1, 1, 1, block_s), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec(
+                (1, 1, 1, block_s // 128, 128),
+                lambda b, h, i: (b, h, i, 0, 0),
+            ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(
                 (batch, heads, padded_s, head_dim // (2 if int4 else 1)),
                 jnp.int8,
             ),
-            jax.ShapeDtypeStruct((batch, heads, nb, block_s), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (batch, heads, nb, block_s // 128, 128), jnp.float32
+            ),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
