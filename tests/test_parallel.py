@@ -136,3 +136,97 @@ def test_explicit_device_placement(rng):
     out = attn(q, k, v)
     want = reference_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), want, **TOL["fp32"])
+
+
+# ---- Pallas ring (in-kernel RDMA rotation, VERDICT r1 #6) ----
+
+def _pallas_ring_harness(rng, *, causal, zigzag, n_dev=4, seq=256, grads=False):
+    from jax.sharding import Mesh
+    from jax import shard_map
+    from umfa_tpu.parallel.ring import zigzag_shard, zigzag_unshard
+    from umfa_tpu.parallel.ring_pallas import ring_flash_attention_pallas
+
+    devices = np.array(jax.devices()[:n_dev])
+    mesh = Mesh(devices, ("sp",))
+    q, k, v = make_qkv(rng, 1, 2, seq, seq, 64)
+
+    def inner(q, k, v):
+        return ring_flash_attention_pallas(
+            q, k, v, axis_name="sp", causal=causal, zigzag=zigzag,
+            interpret=True,
+        )
+
+    f = shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(None, None, "sp", None),) * 3,
+        out_specs=P(None, None, "sp", None),
+        check_vma=False,
+    )
+
+    def run(q, k, v):
+        if zigzag:
+            q, k, v = (zigzag_shard(x, n_dev) for x in (q, k, v))
+        out = f(q, k, v)
+        if zigzag:
+            out = zigzag_unshard(out, n_dev)
+        return out
+
+    out = jax.jit(run)(q, k, v)
+    want = reference_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), atol=2e-4, rtol=2e-4
+    )
+    if grads:
+        def loss(q, k, v):
+            return jnp.sum(run(q, k, v) * jnp.cos(run(q, k, v)))
+
+        def ref_loss(q, k, v):
+            o = reference_attention(q, k, v, causal=causal)
+            return jnp.sum(o * jnp.cos(o))
+
+        got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        wantg = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        for g, w, name in zip(got, wantg, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), atol=2e-4, rtol=2e-4,
+                err_msg=f"d{name}",
+            )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_pallas_ring_parity(rng, causal):
+    _pallas_ring_harness(rng, causal=causal, zigzag=False)
+
+
+def test_pallas_ring_zigzag_causal(rng):
+    _pallas_ring_harness(rng, causal=True, zigzag=True)
+
+
+def test_pallas_ring_grads(rng):
+    _pallas_ring_harness(rng, causal=True, zigzag=False, grads=True)
+
+
+def test_pallas_ring_gqa(rng):
+    from jax.sharding import Mesh
+    from jax import shard_map
+    from umfa_tpu.parallel.ring_pallas import ring_flash_attention_pallas
+
+    n_dev = 4
+    devices = np.array(jax.devices()[:n_dev])
+    mesh = Mesh(devices, ("sp",))
+    q, k, v = make_qkv(rng, 1, 4, 256, 256, 64, kv_heads=2)
+
+    f = shard_map(
+        lambda q, k, v: ring_flash_attention_pallas(
+            q, k, v, axis_name="sp", causal=False, interpret=True
+        ),
+        mesh=mesh,
+        in_specs=(P(None, None, "sp", None),) * 3,
+        out_specs=P(None, None, "sp", None),
+        check_vma=False,
+    )
+    out = jax.jit(f)(q, k, v)
+    want = reference_attention(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), atol=2e-4, rtol=2e-4
+    )

@@ -9,5 +9,11 @@ sequences exceeding one host, collectives overlapped with compute.
 from umfa_tpu.parallel.mesh import make_mesh
 from umfa_tpu.parallel.sharded import sharded_attention
 from umfa_tpu.parallel.ring import ring_flash_attention
+from umfa_tpu.parallel.ring_pallas import ring_flash_attention_pallas
 
-__all__ = ["make_mesh", "sharded_attention", "ring_flash_attention"]
+__all__ = [
+    "make_mesh",
+    "sharded_attention",
+    "ring_flash_attention",
+    "ring_flash_attention_pallas",
+]

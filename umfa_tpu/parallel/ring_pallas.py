@@ -1,0 +1,575 @@
+"""Pallas ring attention: in-kernel KV rotation with explicit comm/compute
+overlap (SURVEY.md §5.8: `pltpu.make_async_remote_copy`).
+
+The jnp-level ring (parallel/ring.py) leaves overlap to XLA's scheduler and
+rotates every chunk every step. This kernel makes the overlap *structural*:
+
+  * KV lives in a double-buffered HBM comm buffer (a kernel output — the
+    standard Pallas distributed pattern, so the peer's RDMA has a stable
+    address). The RDMA send of the CURRENT chunk to the right neighbour
+    starts at the top of each step, then the whole step's attention compute
+    runs while it flies; completion is only awaited at the step boundary.
+  * Flow control is explicit: a receiver signals a capacity semaphore to its
+    left neighbour when a buffer slot is free; senders wait on it before
+    overwriting the remote slot (no overrun even if devices drift).
+  * Causal + contiguous layout: chunk j is needed only by devices i >= j, so
+    sends of chunks that no remaining device will attend are SKIPPED —
+    halving ring traffic (n(n-1)/2 instead of n(n-1) chunk hops). Skipped
+    steps also skip their compute and semaphore handshakes symmetrically.
+  * Zigzag layout (causal load balancing — every device computes ~n/2+1
+    steps' worth of visible work) is supported via global-position masking;
+    all chunks stay needed, so sends are not skipped.
+
+Per (q-tile, step) the online-softmax merge runs against the (o, lse) output
+blocks (read-modify-write accumulation across the outer step grid dim), so
+results match the jnp ring's merge_partials exactly.
+
+The backward pass reuses the differentiable jnp-level ring machinery (a
+reverse ppermute ring of dense backward kernels) via custom_vjp — the
+forward's (o, lse) are bitwise inputs to it, so gradients agree with
+parallel/ring.py's.
+
+Hardware status: validated under the TPU interpret mode's multi-device
+emulation (race detection on) on an 8-device CPU mesh; real-slice validation
+awaits multi-chip hardware (this environment exposes one chip).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from umfa_tpu.ops.flash_fwd import DEFAULT_MASK_VALUE, _LANES, BlockSizes
+
+
+def _ring_fwd_kernel(
+    # inputs: q, k, v (ANY); outputs: o, lse, kvbuf (ANY for kvbuf)
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    kvbuf_ref,
+    # scratch
+    q_vmem,
+    kv_vmem,      # (2 slots, 2 (k/v), block_k, d)
+    o_acc,
+    m_acc,
+    l_acc,
+    o_io,         # (block_q, d) out_dtype — staged output tile
+    lse_io,       # (1, block_q) f32 — staged LSE tile (transposed layout)
+    load_sems,    # DMA sems for tile loads (2 slots x 2 operands) + q
+    io_sems,      # DMA sems for output tile read/merge/write (o, lse)
+    copy_sem,
+    send_sem,
+    recv_sem,
+    capacity_sem,
+    *,
+    n: int,
+    my_static: None,
+    axis_name: str,
+    batch: int,
+    heads: int,
+    kv_heads: int,
+    s_loc: int,
+    head_dim: int,
+    block_q: int,
+    block_k: int,
+    scale: float,
+    causal: bool,
+    zigzag: bool,
+    in_dtype,
+    out_dtype,
+):
+    step = pl.program_id(0)
+    b = pl.program_id(1)
+    h = pl.program_id(2)
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+    n_kv_tiles = s_loc // block_k
+    group = heads // kv_heads
+    hkv = h // group
+
+    my = jax.lax.axis_index(axis_name)
+    left = (my - 1) % n
+    right = (my + 1) % n
+    src = (my - step) % n  # ring slot of the chunk held this step
+    cur = step % 2
+    nxt = (step + 1) % 2
+
+    half = s_loc // 2
+
+    def chunk_base(slot_idx, local_r0):
+        """Global position of local row `local_r0` of ring slot `slot_idx`
+        (scalar; tiles never straddle the zigzag halves — asserted host-side)."""
+        if not zigzag:
+            return slot_idx * s_loc + local_r0
+        in_hi = local_r0 >= half
+        lo_base = slot_idx * half + local_r0
+        hi_base = (2 * n - 1 - slot_idx) * half + (local_r0 - half)
+        return jnp.where(in_hi, hi_base, lo_base)
+
+    # Compute-visibility of this whole step for this device (causal only):
+    # with the contiguous layout, chunk src is visible iff src <= my.
+    if causal and not zigzag:
+        step_visible = src <= my
+        # Sender: chunk held at step s is useful to the right neighbour
+        # (who computes it at s+1) iff s <= my and right exists (my < n-1).
+        will_send = jnp.logical_and(step <= my, my < n - 1)
+        # Receiver: left neighbour sends during step s iff s <= my - 1.
+        will_recv = step <= my - 1  # arrival awaited at step s+1
+        recvd_this_step = step - 1 <= my - 1  # data for THIS step arrived
+    else:
+        step_visible = jnp.bool_(True)
+        will_send = jnp.bool_(step < n - 1)
+        will_recv = jnp.bool_(step < n - 1)
+        recvd_this_step = jnp.bool_(True)
+
+    first_cell = jnp.logical_and(
+        b == 0, jnp.logical_and(h == 0, qi == 0)
+    )
+    last_cell = jnp.logical_and(
+        b == batch - 1, jnp.logical_and(h == heads - 1, qi == nq - 1)
+    )
+
+    # ---- step prologue (first grid cell of the step) ----
+    @pl.when(jnp.logical_and(first_cell, step == 0))
+    def _init_comm():
+        if n > 1:
+            # All-entered barrier with ring neighbours before any RDMA.
+            barrier = pltpu.get_barrier_semaphore()
+            pltpu.semaphore_signal(
+                barrier, inc=1, device_id=left,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            pltpu.semaphore_signal(
+                barrier, inc=1, device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+            pltpu.semaphore_wait(barrier, 2)
+        # Stage the local chunk into comm slot 0 (HBM -> HBM).
+        cp_k = pltpu.make_async_copy(
+            k_ref, kvbuf_ref.at[0, 0], copy_sem
+        )
+        cp_k.start()
+        cp_k.wait()
+        cp_v = pltpu.make_async_copy(
+            v_ref, kvbuf_ref.at[0, 1], copy_sem
+        )
+        cp_v.start()
+        cp_v.wait()
+
+    @pl.when(jnp.logical_and(first_cell, jnp.logical_and(step > 0, recvd_this_step)))
+    def _await_recv():
+        if n > 1:
+            # The chunk for THIS step arrived during the previous step.
+            pltpu.make_async_remote_copy(
+                src_ref=kvbuf_ref.at[cur],
+                dst_ref=kvbuf_ref.at[cur],
+                send_sem=send_sem,
+                recv_sem=recv_sem,
+                device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ).wait_recv()
+
+    @pl.when(jnp.logical_and(first_cell, will_send))
+    def _start_send():
+        if n > 1:
+            # Back-pressure: the send at step s targets the receiver's slot
+            # (s+1)%2, whose last compute use was the receiver's step s-1 —
+            # wait for its "slot free" credit. Step 0 targets a fresh slot.
+            @pl.when(step >= 1)
+            def _():
+                pltpu.semaphore_wait(capacity_sem, 1)
+
+            pltpu.make_async_remote_copy(
+                src_ref=kvbuf_ref.at[cur],
+                dst_ref=kvbuf_ref.at[nxt],
+                send_sem=send_sem,
+                recv_sem=recv_sem,
+                device_id=right,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ).start()
+
+    # ---- attention compute for this (b, h, qi) against chunk `src` ----
+    @pl.when(step_visible)
+    def _compute():
+        # q tile HBM -> VMEM.
+        q0 = qi * block_q
+        cp_q = pltpu.make_async_copy(
+            q_ref.at[b, h, pl.ds(q0, block_q)], q_vmem, load_sems.at[4]
+        )
+        cp_q.start()
+
+        m_acc[...] = jnp.full_like(m_acc, DEFAULT_MASK_VALUE)
+        l_acc[...] = jnp.zeros_like(l_acc)
+        o_acc[...] = jnp.zeros_like(o_acc)
+
+        q_base = chunk_base(my, q0)
+
+        def start_load(slot, ki):
+            k0 = ki * block_k
+            for opi in range(2):
+                pltpu.make_async_copy(
+                    kvbuf_ref.at[cur, opi, b, hkv, pl.ds(k0, block_k)],
+                    kv_vmem.at[slot, opi],
+                    load_sems.at[slot * 2 + opi],
+                ).start()
+
+        def wait_load(slot, ki):
+            k0 = ki * block_k
+            for opi in range(2):
+                pltpu.make_async_copy(
+                    kvbuf_ref.at[cur, opi, b, hkv, pl.ds(k0, block_k)],
+                    kv_vmem.at[slot, opi],
+                    load_sems.at[slot * 2 + opi],
+                ).wait()
+
+        start_load(0, 0)
+        cp_q.wait()
+
+        def body(ki, _):
+            slot = ki % 2
+
+            @pl.when(ki + 1 < n_kv_tiles)
+            def _():
+                start_load((ki + 1) % 2, ki + 1)
+
+            wait_load(slot, ki)
+            k_t = kv_vmem[slot, 0]
+            v_t = kv_vmem[slot, 1]
+            qv = q_vmem[...]
+
+            mxu = (
+                jax.lax.Precision.HIGHEST
+                if qv.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            )
+            s = jax.lax.dot_general(
+                qv, k_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu,
+            ) * scale
+            if causal:
+                k_base = chunk_base(src, ki * block_k)
+                q_ids = q_base + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0
+                )
+                k_ids = k_base + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1
+                )
+                keep = k_ids <= q_ids
+                s = jnp.where(keep, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_acc[:, 0:1]
+            l_prev = l_acc[:, 0:1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            if causal:
+                p = jnp.where(keep, p, 0.0)
+            l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+            m_acc[...] = jnp.broadcast_to(m_new, m_acc.shape)
+            l_acc[...] = jnp.broadcast_to(l_new, l_acc.shape)
+            pv = jax.lax.dot_general(
+                p.astype(v_t.dtype), v_t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu,
+            )
+            o_acc[...] = o_acc[...] * alpha + pv
+            return 0
+
+        jax.lax.fori_loop(0, n_kv_tiles, body, 0)
+
+        # ---- merge this step's partial into the running (o, lse) ----
+        # (o, lse) live in ANY/HBM (output blocks may not be revisited
+        # across a non-innermost grid dim): explicit read-merge-write.
+        m = m_acc[:, 0:1]
+        l = l_acc[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        lse_step = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, m + jnp.log(l_safe))
+        o_step = o_acc[...] / l_safe
+
+        o_slice = o_ref.at[b, h, pl.ds(q0, block_q)]
+        lse_slice = lse_ref.at[b, h, pl.ds(qi, 1)]
+
+        @pl.when(step > 0)
+        def _load_prev():
+            cp_o = pltpu.make_async_copy(o_slice, o_io, io_sems.at[0])
+            cp_l = pltpu.make_async_copy(lse_slice, lse_io, io_sems.at[1])
+            cp_o.start()
+            cp_l.start()
+            cp_o.wait()
+            cp_l.wait()
+            lse_prev = lse_io[...].reshape(block_q, 1)
+            o_prev = o_io[...].astype(jnp.float32)
+            m2 = jnp.maximum(lse_prev, lse_step)
+            w1 = jnp.exp(lse_prev - m2)
+            w2 = jnp.exp(lse_step - m2)
+            denom = w1 + w2
+            safe = jnp.where(denom == 0.0, 1.0, denom)
+            o_new = o_prev * (w1 / safe) + o_step * (w2 / safe)
+            lse_new = m2 + jnp.log(safe)
+            o_io[...] = o_new.astype(out_dtype)
+            lse_io[...] = lse_new.reshape(1, block_q)
+
+        @pl.when(step == 0)
+        def _first():
+            o_io[...] = o_step.astype(out_dtype)
+            lse_io[...] = lse_step.reshape(1, block_q)
+
+        cp_o = pltpu.make_async_copy(o_io, o_slice, io_sems.at[0])
+        cp_l = pltpu.make_async_copy(lse_io, lse_slice, io_sems.at[1])
+        cp_o.start()
+        cp_l.start()
+        cp_o.wait()
+        cp_l.wait()
+
+    # ---- step epilogue (last grid cell of the step) ----
+    @pl.when(last_cell)
+    def _epilogue():
+        if n > 1:
+            @pl.when(will_send)
+            def _await_send():
+                pltpu.make_async_remote_copy(
+                    src_ref=kvbuf_ref.at[cur],
+                    dst_ref=kvbuf_ref.at[nxt],
+                    send_sem=send_sem,
+                    recv_sem=recv_sem,
+                    device_id=right,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                ).wait_send()
+
+            # Slot `cur` (= step % 2) is now free: compute done, outbound
+            # send drained. The left neighbour targets this slot with its
+            # send at step+1 — credit it one "slot free". Pair exactly with
+            # the sender's wait (sends at s >= 1 wait one credit).
+            if causal and not zigzag:
+                left_sends_next = jnp.logical_and(
+                    step + 1 <= left, left < n - 1
+                )
+            else:
+                left_sends_next = jnp.bool_(step + 1 < n - 1)
+
+            @pl.when(left_sends_next)
+            def _signal_capacity():
+                pltpu.semaphore_signal(
+                    capacity_sem, inc=1, device_id=left,
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+
+
+def _ring_fwd_pallas(
+    q, k, v, *, axis_name, n, causal, zigzag, scale, block_q, block_k,
+    interpret,
+):
+    batch, heads, s_loc, head_dim = q.shape
+    _, kv_heads, _, _ = k.shape
+    assert s_loc % block_k == 0 and s_loc % block_q == 0, (
+        "Pallas ring requires the local shard divisible by the tile sizes"
+    )
+    if zigzag:
+        half = s_loc // 2
+        assert half % block_q == 0 and half % block_k == 0, (
+            "zigzag halves must align with tiles"
+        )
+    nq = s_loc // block_q
+    out_dtype = q.dtype
+    grid = (n, batch, heads, nq)
+
+    kernel = functools.partial(
+        _ring_fwd_kernel,
+        n=n, my_static=None, axis_name=axis_name,
+        batch=batch, heads=heads, kv_heads=kv_heads,
+        s_loc=s_loc, head_dim=head_dim,
+        block_q=block_q, block_k=block_k,
+        scale=scale, causal=causal, zigzag=zigzag,
+        in_dtype=q.dtype, out_dtype=out_dtype,
+    )
+
+    if interpret:
+        # 'eager' DMA emulation: the default 'on_wait' mode defers the READ
+        # side of queued transfers to semaphore-wait time, which mis-orders
+        # this double-buffered protocol (verified with a minimal rotation
+        # repro); eager mode executes transfers at start() and reproduces
+        # the exact ring rotation.
+        interpret_mode = pltpu.InterpretParams(dma_execution_mode="eager")
+    else:
+        interpret_mode = False
+
+    o, lse_l, _ = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, heads, s_loc, head_dim), out_dtype),
+            # Transposed LSE layout (B, H, nq, block_q) — reshaped to
+            # (B, H, S_loc) host-side; no 128-lane broadcast.
+            jax.ShapeDtypeStruct((batch, heads, nq, block_q), jnp.float32),
+            # Double-buffered KV comm buffer: (slot, k/v, B, Hkv, S_loc, D).
+            jax.ShapeDtypeStruct(
+                (2, 2, batch, kv_heads, s_loc, head_dim), k.dtype
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, head_dim), q.dtype),
+            pltpu.VMEM((2, 2, block_k, head_dim), k.dtype),
+            pltpu.VMEM((block_q, head_dim), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, head_dim), out_dtype),
+            pltpu.VMEM((1, block_q), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.REGULAR,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            collective_id=13,
+            dimension_semantics=(
+                "arbitrary", "arbitrary", "arbitrary", "arbitrary",
+            ),
+        ),
+        interpret=interpret_mode,
+    )(q, k, v)
+    return o, lse_l.reshape(batch, heads, s_loc)
+
+
+def ring_flash_attention_pallas(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    causal: bool = False,
+    zigzag: bool = False,
+    scale: Optional[float] = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    interpret: bool = False,
+    return_lse: bool = False,
+):
+    """Ring attention with the in-kernel RDMA rotation (forward) and the
+    differentiable jnp-ring backward. Call inside shard_map with the
+    sequence dim sharded along `axis_name` (zigzag layout when zigzag=True —
+    see parallel/ring.zigzag_shard)."""
+    n = jax.lax.axis_size(axis_name)
+    head_dim = q.shape[-1]
+    s_loc = q.shape[2]
+    if scale is None:
+        scale = head_dim**-0.5
+    interpret = interpret or jax.default_backend() == "cpu"
+    block_q = min(block_sizes.block_q, s_loc)
+    block_k = min(block_sizes.block_k, s_loc)
+    if zigzag:
+        half = s_loc // 2
+        block_q = min(block_q, half)
+        block_k = min(block_k, half)
+
+    out, lse = _ring_pallas_vjp(
+        _RingKey(
+            axis_name=axis_name, n=n, causal=causal, zigzag=zigzag,
+            scale=scale, block_q=block_q, block_k=block_k,
+            interpret=interpret, block_sizes=block_sizes,
+        ),
+        q, k, v,
+    )
+    if return_lse:
+        return out, lse
+    return out
+
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class _RingKey:
+    axis_name: str
+    n: int
+    causal: bool
+    zigzag: bool
+    scale: float
+    block_q: int
+    block_k: int
+    interpret: bool
+    block_sizes: BlockSizes
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ring_pallas_vjp(key: _RingKey, q, k, v):
+    return _ring_fwd_pallas(
+        q, k, v,
+        axis_name=key.axis_name, n=key.n, causal=key.causal,
+        zigzag=key.zigzag, scale=key.scale,
+        block_q=key.block_q, block_k=key.block_k,
+        interpret=key.interpret,
+    )
+
+
+def _ring_vjp_fwd(key: _RingKey, q, k, v):
+    out, lse = _ring_pallas_vjp(key, q, k, v)
+    return (out, lse), (q, k, v, out, lse)
+
+
+def _ring_vjp_bwd(key: _RingKey, residuals, g):
+    """Reverse ring: rotate (K, V) with ppermute and run the dense fused
+    backward per chunk — the same gradients the jnp ring's autodiff
+    produces, driven off the Pallas forward's (out, lse)."""
+    from umfa_tpu.ops.flash_bwd import flash_attention_backward
+    from umfa_tpu.parallel.ring import _global_positions
+
+    q, k, v, out, lse = residuals
+    do, dlse = g
+    n = key.n
+    my_idx = jax.lax.axis_index(key.axis_name)
+    s_loc = q.shape[2]
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    perm_back = [(i, (i - 1) % n) for i in range(n)]
+
+    qpos = _global_positions(my_idx, n, s_loc, key.zigzag)
+    dq = jnp.zeros(q.shape, jnp.float32)
+    kv = (k, v, jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32))
+    for stepi in range(n):
+        src = (my_idx - stepi) % n
+        kc, vc, dkc, dvc = kv
+        if key.causal:
+            kpos = _global_positions(src, n, s_loc, key.zigzag)
+            step_bias = jnp.where(
+                kpos[None, :] <= qpos[:, None], 0.0, DEFAULT_MASK_VALUE
+            ).astype(jnp.float32)[None, None]
+        else:
+            step_bias = None
+        dq_s, dk_s, dv_s = flash_attention_backward(
+            q, kc, vc, out, lse, do, step_bias, dlse,
+            causal=False, scale=key.scale,
+            block_sizes=key.block_sizes, interpret=key.interpret,
+        )
+        dq = dq + dq_s
+        kv = (kc, vc, dkc + dk_s, dvc + dv_s)
+        if stepi != n - 1:
+            kv = jax.lax.ppermute(kv, key.axis_name, perm)
+    # dk/dv accumulated while travelling; one final hop returns them home.
+    kc, vc, dk, dv = jax.lax.ppermute(kv, key.axis_name, perm)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+
+
+_ring_pallas_vjp.defvjp(_ring_vjp_fwd, _ring_vjp_bwd)
