@@ -55,11 +55,21 @@ def main():
         lambda q, k, v: quantized_flash_attention(q, k, v, config=cfg4)
     )
 
+    import time as _time
+
+    def _note(msg):
+        print(f"[bench {_time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
     iters = 8 if on_cpu else 64
+    _note("timing bf16 XLA SDPA")
     t_sdpa = time_op(xla_sdpa, q, k, v, iters=iters)
+    _note("timing bf16 fused")
     t_fused = time_op(fused, q, k, v, iters=iters)
+    _note("timing int8 fused")
     t_int8 = time_op(int8, q, k, v, iters=iters)
+    _note("timing int4 fused")
     t_int4 = time_op(int4, q, k, v, iters=iters)
+    _note("timings done")
 
     # Accuracy vs FP32 reference on the same inputs.
     from umfa_tpu.ops.attention import reference_attention

@@ -137,3 +137,67 @@ def test_ragged_seq_block_mask(rng):
     out = flash_attention(q, k, v, block_mask=bm, interpret=True)
     want = reference_attention(q, k, v, causal=True)
     np.testing.assert_allclose(out, want, **TOL["fp32"])
+
+
+def test_sparse_gqa_grads_in_kernel_reduction(rng):
+    """Compacted-fetch (BlockMask) + GQA backward now uses the in-kernel
+    group reduction — dK/dV parity vs the naive reference (VERDICT r1 #10)."""
+    seq = 384
+    bs = BlockSizes(block_q=128, block_k=128)
+    q_ids = jnp.arange(seq)[:, None]
+    k_ids = jnp.arange(seq)[None, :]
+    mask = (q_ids // 128) >= (k_ids // 128)  # block-causal, tile-aligned
+    bm = make_block_mask(mask, seq, seq, block_sizes=bs)
+    assert bm.fetch_q is not None
+
+    q, k, v = make_qkv(rng, 1, 4, seq, seq, 64, kv_heads=2)
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)[None, None]
+
+    def loss(q, k, v):
+        out = flash_attention(q, k, v, block_mask=bm, interpret=True)
+        return jnp.sum(out * jnp.sin(out))
+
+    def ref_loss(q, k, v):
+        out = reference_attention(q, k, v, bias)
+        return jnp.sum(out * jnp.sin(out))
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=2e-4, rtol=2e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_sparse_gqa_quantized_grads(rng):
+    """Quantized backward with BlockMask + GQA (native int8 kernels)."""
+    from umfa_tpu.engine.config import Precision, QuantizationConfig
+    from umfa_tpu.ops.quant_attention import quantized_flash_attention
+    from umfa_tpu.utils.testing import BWD_COSINE_MIN, BWD_REL_ERR_MAX, cosine, rel_err
+
+    seq = 256
+    bs = BlockSizes(block_q=128, block_k=128)
+    q_ids = jnp.arange(seq)[:, None]
+    k_ids = jnp.arange(seq)[None, :]
+    mask = (q_ids // 128) >= (k_ids // 128)
+    bm = make_block_mask(mask, seq, seq, block_sizes=bs)
+    q, k, v = make_qkv(rng, 1, 4, seq, seq, 64, kv_heads=2)
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)[None, None]
+
+    def loss(q, k, v):
+        out = quantized_flash_attention(
+            q, k, v, config=QuantizationConfig(), block_mask=bm,
+            block_sizes=bs, interpret=True,
+        )
+        return jnp.sum(out * jnp.sin(out))
+
+    def ref_loss(q, k, v):
+        out = reference_attention(q, k, v, bias)
+        return jnp.sum(out * jnp.sin(out))
+
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        assert cosine(g, w) > BWD_COSINE_MIN
+        assert rel_err(g, w) < BWD_REL_ERR_MAX

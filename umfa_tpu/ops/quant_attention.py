@@ -266,7 +266,8 @@ def _quant_fwd_kernel(
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[...] / l_safe).astype(out_dtype)
         lse = jnp.where(l == 0.0, DEFAULT_MASK_VALUE, m + jnp.log(l_safe))
-        lse_ref[0, 0] = jnp.broadcast_to(lse, (block_q, _LANES))
+        # Column LSE layout (see flash_fwd finalize).
+        lse_ref[0, 0] = lse
 
 
 def _col_stat(x, batch, heads, seq):
@@ -489,7 +490,8 @@ def quantized_attention_forward(
             (1, 1, block_q, head_dim), lambda b, h, i, j, *refs: (b, h, i, 0)
         ),
         pl.BlockSpec(
-            (1, 1, block_q, _LANES), lambda b, h, i, j, *refs: (b, h, i, 0)
+            (1, 1, block_q, 1),
+            lambda b, h, i, j, *refs: (b, h, i, 0),
         ),
     ]
     out_shape = [
@@ -497,7 +499,7 @@ def quantized_attention_forward(
             (batch, num_heads, padded_sq, head_dim), jnp.dtype(out_dtype)
         ),
         jax.ShapeDtypeStruct(
-            (batch, num_heads, padded_sq, _LANES), jnp.float32
+            (batch, num_heads, padded_sq, 1), jnp.float32
         ),
     ]
     scratch_shapes = [

@@ -162,8 +162,8 @@ def _q_dq_kernel(
         if v_int4:
             v_i8 = _unpack_int4_lanes(v_i8)
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, 0:1]
-        delta = delta_ref[0, 0][:, 0:1]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
         sq_eff = qs_ref[0, 0]   # (block_q, 1)|(1, 1), softmax scale folded
         sk_raw = ks_ref[0, 0]   # (1, block_k)|(1, 1)
         sv_raw = vs_ref[0, 0]
@@ -264,15 +264,17 @@ def _q_dkv_kernel(
     inner = pl.program_id(3)
     if group > 1:
         # In-kernel GQA reduction (see flash_bwd._dkv_kernel): grid dim 1 is
-        # the KV head; the inner walk covers (query-head-in-group, q-block).
+        # the KV head; the inner walk covers (query-head-in-group, step).
         qi = inner % nq_logical
+        h_q = pl.program_id(1) * group + inner // nq_logical
     else:
         qi = inner
+        h_q = pl.program_id(1)
     k_start = ki * block_k
     if fetch_ref is not None:
         fid_raw = fetch_ref[
             pl.program_id(0) if fetch_ref.shape[0] > 1 else 0,
-            pl.program_id(1) if fetch_ref.shape[1] > 1 else 0,
+            h_q if fetch_ref.shape[1] > 1 else 0,
             ki, qi,
         ]
         fid = jnp.where(fid_raw >= 0, fid_raw, -fid_raw - 1)
@@ -293,9 +295,6 @@ def _q_dkv_kernel(
     if fetch_ref is not None:
         visible = jnp.logical_and(visible, fid_raw >= 0)
     elif map_ref is not None:
-        h_q = pl.program_id(1)
-        if group > 1:
-            h_q = h_q * group + inner // nq_logical
         typ = map_ref[
             pl.program_id(0) if map_ref.shape[0] > 1 else 0,
             h_q if map_ref.shape[1] > 1 else 0,
@@ -314,8 +313,8 @@ def _q_dkv_kernel(
         if v_int4:
             v_i8 = _unpack_int4_lanes(v_i8)
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, 0:1]
-        delta = delta_ref[0, 0][:, 0:1]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
         sq_eff = qs_ref[0, 0]
         sk_raw = ks_ref[0, 0]
         sv_raw = vs_ref[0, 0]
@@ -448,8 +447,8 @@ def quantized_attention_backward(
         lse_pad <= DEFAULT_MASK_VALUE * 0.5, -DEFAULT_MASK_VALUE, lse_pad
     )
     delta_pad = _pad_seq(delta, block_q, 2)
-    lse_b = jnp.broadcast_to(lse_pad[..., None], (*lse_pad.shape, _LANES))
-    delta_b = jnp.broadcast_to(delta_pad[..., None], (*delta_pad.shape, _LANES))
+    lse_b = lse_pad[..., None]
+    delta_b = delta_pad[..., None]
 
     def pad_stat(x, block, axis):
         return _pad_seq(x, block, axis) if x.shape[axis] > 1 else x
@@ -531,17 +530,21 @@ def quantized_attention_backward(
         ]
         return jnp.where(val >= 0, val, -val - 1)
 
-    def build_specs(order, use_group=False):
+    def build_specs(order, use_group=False, width=None):
         """order 'qk' = dQ kernel (qi outer, ki inner); 'kq' = dK/dV kernel.
-        use_group: in-kernel GQA layout (h = KV head, inner = (g, qi))."""
-        nq = num_q_blocks
+        use_group: in-kernel GQA layout (h = KV head, inner = (g, step) with
+        `width` steps per query head — compacted steps under fetch)."""
+        if width is None:
+            width = num_q_blocks
 
         if use_group:
             def hq(h, j):
-                return h * group + j // nq
+                return h * group + j // width
 
             def qix(b, h, i, j, refs):
-                return clamp_qi(i, j % nq)
+                if has_fetch:
+                    return _fetch_idx(refs[0], b, hq(h, j), i, j % width)
+                return clamp_qi(i, j % width)
 
             def kix(b, h, i, j, refs):
                 return i
@@ -617,8 +620,10 @@ def quantized_attention_backward(
             lambda b, h, i, j, *refs: (b, hsel_q(b, h, i, j), qix(b, h, i, j, refs), 0),
         )
         stat_spec = pl.BlockSpec(
-            (1, 1, block_q, _LANES),
-            lambda b, h, i, j, *refs: (b, hsel_q(b, h, i, j), qix(b, h, i, j, refs), 0),
+            (1, 1, block_q, 1),
+            lambda b, h, i, j, *refs: (
+                b, hsel_q(b, h, i, j), qix(b, h, i, j, refs), 0
+            ),
         )
 
         ins = [q_spec, k_spec, v_spec,
@@ -737,12 +742,15 @@ def quantized_attention_backward(
         )(*base_args, *extra_args("qk"))
 
     # ---- dK/dV pass ----
-    use_group_reduce = group > 1 and not has_fetch
+    # GQA group reduction in-kernel (see flash_bwd), incl. the compacted-
+    # fetch path.
+    use_group_reduce = group > 1
+    dkv_width = fetch_q.shape[3] if has_fetch else num_q_blocks
     if use_group_reduce:
-        dkv_inner = group * num_q_blocks
+        dkv_inner = group * dkv_width
         dkv_heads = num_kv_heads
     else:
-        dkv_inner = fetch_q.shape[3] if has_fetch else num_q_blocks
+        dkv_inner = dkv_width
         dkv_heads = num_heads
     dkv_kernel = functools.partial(
         _q_dkv_kernel,
@@ -754,7 +762,7 @@ def quantized_attention_backward(
         has_map=has_map, has_fetch=has_fetch,
         has_qm=has_qm, has_vm=has_vm,
         group=group if use_group_reduce else 1,
-        nq_logical=num_q_blocks,
+        nq_logical=dkv_width,
         **int4_flags,
     )
     dkv_grid = (batch, dkv_heads, num_k_blocks, dkv_inner)
@@ -774,13 +782,16 @@ def quantized_attention_backward(
         pltpu.VMEM((block_k, head_dim), jnp.float32),
         pltpu.VMEM((block_k, head_dim), jnp.float32),
     ]
+    dkv_in_specs = build_specs(
+        "kq", use_group=use_group_reduce, width=dkv_width
+    )
     if has_fetch:
         dk, dv = pl.pallas_call(
             dkv_kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=dkv_grid,
-                in_specs=build_specs("kq"),
+                in_specs=dkv_in_specs,
                 out_specs=dkv_out_specs,
                 scratch_shapes=dkv_scratch,
             ),
@@ -792,7 +803,7 @@ def quantized_attention_backward(
         dk, dv = pl.pallas_call(
             dkv_kernel,
             grid=dkv_grid,
-            in_specs=build_specs("kq", use_group=use_group_reduce),
+            in_specs=dkv_in_specs,
             out_specs=dkv_out_specs,
             out_shape=dkv_out_shape,
             scratch_shapes=dkv_scratch,
@@ -803,7 +814,4 @@ def quantized_attention_backward(
     dq = dq[:, :, :seq_q]
     dk = dk[:, :, :seq_k]
     dv = dv[:, :, :seq_k]
-    if group > 1 and not use_group_reduce:
-        dk = dk.reshape(batch, num_kv_heads, group, seq_k, head_dim).sum(axis=2)
-        dv = dv.reshape(batch, num_kv_heads, group, seq_k, head_dim).sum(axis=2)
     return dq, dk, dv
