@@ -133,6 +133,29 @@ def main():
     rt8 = roundtrip_relerr(uni, Precision.INT8)
     rt4 = roundtrip_relerr(uni, Precision.INT4)
 
+    # D=128 profile (FLUX head dim): at D=64 the kernel is VPU-softmax-bound
+    # and int8's 2x-MXU QK buys little; at D=128 the MXU share doubles.
+    d128 = {}
+    if not on_cpu:
+        B2, H2, S2, D2 = 1, 24, 4608, 128
+        _note("timing D=128 profile")
+        q2 = jnp.asarray(rng.normal(0, 1, (B2, H2, S2, D2)), dtype)
+        k2 = jnp.asarray(rng.normal(0, 1, (B2, H2, S2, D2)), dtype)
+        v2 = jnp.asarray(rng.normal(0, 1, (B2, H2, S2, D2)), dtype)
+        flops2 = 4 * B2 * H2 * S2 * S2 * D2
+        t2_f = time_op(fused, q2, k2, v2, iters=32)
+        t2_8 = time_op(int8, q2, k2, v2, iters=32)
+        d128 = {
+            "shape": [B2, H2, S2, D2],
+            "bf16_fused": {"ms": t2_f * 1e3, "tflops": flops2 / t2_f / 1e12},
+            "int8_fused": {
+                "ms": t2_8 * 1e3,
+                "tflops": flops2 / t2_8 / 1e12,
+                "speedup_vs_bf16_fused": t2_f / t2_8,
+            },
+        }
+        _note("D=128 done")
+
     def tflops(t):
         return flops / t / 1e12
 
@@ -149,6 +172,7 @@ def main():
             "relerr_iid": err4, "relerr_struct": err4_s,
         },
         "quantizer_roundtrip_relerr": {"int8": rt8, "int4": rt4},
+        "d128_flux_profile": d128,
         "backend": jax.default_backend(),
     }
     print(json.dumps(details, indent=2), file=sys.stderr)

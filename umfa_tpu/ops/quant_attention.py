@@ -215,7 +215,7 @@ def _quant_fwd_kernel(
         vv = v_ref[0, 0]
         if v_int4:
             vv = _unpack_int4_lanes(vv)
-        sv_row = vs_ref[0, 0]  # (1, block_k) or (1, 1)
+        sv = vs_ref[0, 0]  # sym: (block_k, 1)|(1, 1); asym: (1, block_k)|(1,1)
         if pv_int8:
             # Fully-integer P·V: P ∈ [0,1] (online softmax) quantizes with
             # the fixed scale 1/127; V's scale is constant over this tile
@@ -226,22 +226,33 @@ def _quant_fwd_kernel(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            sv_scalar = sv_row[0:1, 0:1]  # tile-constant by construction
+            sv_scalar = sv[0:1, 0:1]  # tile-constant by construction
             pv = pv_i32.astype(jnp.float32) * (sv_scalar * (1.0 / 127.0))
-        else:
-            # P·V with the per-row V scale folded into P (lane broadcast),
-            # dequantize-on-load in BF16 (reference-style).
-            p_scaled = p * sv_row
+        elif asym:
+            # P·V with the per-row V scale folded into P (lane broadcast) —
+            # the zero-point correction needs the row-vector form.
+            p_scaled = p * sv
             pv = jax.lax.dot_general(
                 p_scaled.astype(jnp.bfloat16),
                 vv.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if asym:
-                vzp = vzp_ref[0, 0].astype(jnp.float32)  # (1, block_k)|(1,1)
-                corr = jnp.sum(p_scaled * vzp, axis=-1, keepdims=True)
-                pv = pv - corr
+            vzp = vzp_ref[0, 0].astype(jnp.float32)  # (1, block_k)|(1,1)
+            corr = jnp.sum(p_scaled * vzp, axis=-1, keepdims=True)
+            pv = pv - corr
+        else:
+            # Dequantize-on-load: fold the per-row V scale onto the V TILE
+            # (block_k x D ops) instead of onto P (block_q x block_k ops) —
+            # 8x fewer VPU ops at block_q=512/D=64. The kernel is VPU-bound
+            # at D=64, so every per-score-element op counts.
+            v_f = vv.astype(jnp.bfloat16) * sv.astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16),
+                v_f,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         acc_scr[...] = acc_scr[...] * alpha + pv
 
     masked = causal or window is not None or bool(seq_k % block_k)
@@ -345,7 +356,12 @@ def quantized_attention_forward(
     # they are unaffected).
     q_scales = pad_stat(qt_q.scales * scale, block_q, 2)     # (B,H,Sq|1,1)
     k_scales = pad_stat(_row_stat(qt_k.scales), block_k, 3)  # (B,H,1,Sk|1)
-    v_scales = pad_stat(_row_stat(qt_v.scales), block_k, 3)
+    # Symmetric V scales stay in column form (B,H,Sk|1,1): the kernel folds
+    # them onto the V tile. Asym keeps the row form (zero-point correction).
+    if asym:
+        v_scales = pad_stat(_row_stat(qt_v.scales), block_k, 3)
+    else:
+        v_scales = pad_stat(qt_v.scales, block_k, 2)
 
     has_fetch = block_map is not None and fetch_ids is not None
     has_map = block_map is not None and not has_fetch
@@ -413,8 +429,18 @@ def quantized_attention_forward(
             ),
         )
 
+    def kv_col_spec(stat):
+        per_row = stat.shape[2] > 1
+        return pl.BlockSpec(
+            (1, 1, block_k if per_row else 1, 1),
+            lambda b, h, i, j, *refs, pr=per_row: (
+                b, h // group, _ki_eff(b, h, i, j, refs) if pr else 0, 0
+            ),
+        )
+
+    v_scale_spec = row_spec(v_scales) if asym else kv_col_spec(v_scales)
     in_specs = [q_spec, k_spec, v_spec,
-                col_spec(q_scales), row_spec(k_scales), row_spec(v_scales)]
+                col_spec(q_scales), row_spec(k_scales), v_scale_spec]
     args = [q_vals, k_vals, v_vals, q_scales, k_scales, v_scales]
 
     if asym:

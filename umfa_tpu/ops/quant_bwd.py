@@ -183,12 +183,14 @@ def _q_dq_kernel(
             masked_args=masked_args,
         )
 
-        # dP_ij = dO_i . v~_j = sv_j (dO_i . v_i8_j) [+ dO_i . vm]
+        # dP_ij = dO_i . v~_j ; v~ = v_i8 * sv folded on the V TILE
+        # (block_k x D ops) [+ dO_i . vm].
+        v_f = v_i8.astype(jnp.bfloat16) * sv_raw.astype(jnp.bfloat16)
         dp = jax.lax.dot_general(
-            do.astype(jnp.bfloat16), v_i8.astype(jnp.bfloat16),
+            do.astype(jnp.bfloat16), v_f,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sv_raw
+        )
         if vm_ref is not None:
             dp = dp + jnp.sum(do * vm_ref[0, 0], axis=-1, keepdims=True)
         ds = p * (dp - delta)  # (block_q, block_k) FP32
@@ -340,11 +342,12 @@ def _q_dkv_kernel(
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        v_f = v_i8.astype(jnp.bfloat16) * sv_raw.astype(jnp.bfloat16)
         dp = jax.lax.dot_general(
-            do.astype(jnp.bfloat16), v_i8.astype(jnp.bfloat16),
+            do.astype(jnp.bfloat16), v_f,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sv_raw
+        )
         if vm_ref is not None:
             dp = dp + jnp.sum(do * vm_ref[0, 0], axis=-1, keepdims=True)
         ds = p * (dp - delta)
@@ -459,7 +462,9 @@ def quantized_attention_backward(
     # Scale folding mirrors the forward: softmax scale folds into Q scales.
     q_scales = pad_stat(qt_q.scales * scale, block_q, 2)     # (B,H,Sq|1,1)
     k_scales = pad_stat(_row_stat(qt_k.scales), block_k, 3)  # (B,H,1,Sk|1)
-    v_scales = pad_stat(_row_stat(qt_v.scales), block_k, 3)
+    # V scales in column form (B,H,Sk|1,1): folded onto the V tile in-kernel
+    # (block_k x D ops instead of block_q x block_k — see quant_attention).
+    v_scales = pad_stat(qt_v.scales, block_k, 2)
 
     has_corr = score_corr is not None
     corr = None
@@ -626,8 +631,18 @@ def quantized_attention_backward(
             ),
         )
 
+        def kv_col_spec(stat):
+            per_row = stat.shape[2] > 1
+            return pl.BlockSpec(
+                (1, 1, block_k if per_row else 1, 1),
+                lambda b, h, i, j, *refs, pr=per_row: (
+                    b, hsel_kv(b, h, i, j),
+                    kix(b, h, i, j, refs) if pr else 0, 0,
+                ),
+            )
+
         ins = [q_spec, k_spec, v_spec,
-               col_spec(q_scales), row_spec(k_scales), row_spec(v_scales),
+               col_spec(q_scales), row_spec(k_scales), kv_col_spec(v_scales),
                do_spec, stat_spec, stat_spec]
         extra = []
         if order == "kq" and has_qm:

@@ -94,7 +94,7 @@ def quantize_rows_fused(
     mean: Optional[jax.Array] = None,
     *,
     precision: Precision = Precision.INT8,
-    block_s: int = 256,
+    block_s: int = 1024,
     hadamard: bool = False,
     interpret: bool = False,
 ) -> QuantizedTensor:

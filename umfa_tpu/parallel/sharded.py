@@ -60,16 +60,36 @@ def sharded_attention(
             )
         if seq_axis is not None:
             local_attention = None
+            vm_global = None
             if quantized:
                 import dataclasses
+
+                import jax.numpy as jnp
 
                 from umfa_tpu.ops.quant_attention import (
                     quantized_flash_attention,
                 )
 
-                # Smoothing shifts LSE by per-chunk constants — disable it so
-                # the ring's online-softmax merge stays exact.
+                # PER-CHUNK smoothing shifts each chunk's LSE by a different
+                # constant and breaks the cross-chunk online-softmax merge —
+                # so the per-call smoothing stays off. GLOBAL (pmean over
+                # the ring axis) K/V channel means ARE merge-safe: the
+                # K-mean shift is the same for every chunk (softmax-
+                # invariant across the merge), and since the merged weights
+                # sum to 1 per row, the V mean adds back once after the full
+                # ring. (The Q-mean term would need a per-chunk score
+                # correction row — skipped; K/V smoothing carries most of
+                # the accuracy win.)
                 qcfg = dataclasses.replace(quantization, smooth=False)
+                f32 = jnp.float32
+                km = jax.lax.pmean(
+                    jnp.mean(k.astype(f32), axis=2, keepdims=True), seq_axis
+                )
+                vm_global = jax.lax.pmean(
+                    jnp.mean(v.astype(f32), axis=2, keepdims=True), seq_axis
+                )
+                k = (k.astype(f32) - km).astype(k.dtype)
+                v = (v.astype(f32) - vm_global).astype(v.dtype)
 
                 def local_attention(q, kc, vc, bias):
                     return quantized_flash_attention(
@@ -78,11 +98,19 @@ def sharded_attention(
                         return_lse=True,
                     )
 
-            return ring_flash_attention(
+            out = ring_flash_attention(
                 q, k, v, axis_name=seq_axis, causal=causal, scale=scale,
                 block_sizes=block_sizes, interpret=interpret,
                 local_attention=local_attention, zigzag=zigzag,
             )
+            if vm_global is not None:
+                group_r = out.shape[1] // vm_global.shape[1]
+                vm_q = (
+                    jnp.repeat(vm_global, group_r, axis=1)
+                    if group_r > 1 else vm_global
+                )
+                out = (out.astype(jnp.float32) + vm_q).astype(out.dtype)
+            return out
         return flash_attention(
             q, k, v, causal=causal, scale=scale,
             block_sizes=block_sizes, interpret=interpret,

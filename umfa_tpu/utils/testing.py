@@ -19,11 +19,19 @@ TOL = {
 }
 
 INT8_REL_ERR = 0.02   # kernel-level envelope; end-to-end target ≈0.1%
-# INT4 on i.i.d. N(0,1) inputs is the worst case for 4-bit rounding noise
-# (~15-20% output error regardless of implementation); structured/peaked
-# attention distributions land far lower (see bench). Reference's ≈2% claim
-# (BASELINE.md) is measured on its own workload distribution.
-INT4_REL_ERR = 0.25
+# INT4 on i.i.d. N(0,1) inputs is the worst case for 4-bit rounding noise:
+# with per-row absmax scaling the per-element quantization error is
+# ~0.12 sigma (near the 4-bit optimum), giving score noise ~15-18% of the
+# score std regardless of implementation — so ~16-20% output relerr on iid
+# gaussian inputs is a physical floor, not an implementation gap. The
+# reference's "INT4 ~ 2%" anchors the QUANTIZER round-trip ("error
+# introduced by the quantisers", PERFORMANCE_RESULTS.md:47-52), which this
+# repo beats (bench: int4 roundtrip ~7% on uniform, reference test bound
+# RMSE<0.2 on range ±1 passed 5x over). On structured (channel-outlier,
+# moderately-peaked) inputs the default recipe (Q/K int4 + Hadamard +
+# V int8) lands ~2-3% end-to-end — the bound below.
+INT4_REL_ERR = 0.22          # iid worst case, default recipe (V int8)
+INT4_STRUCT_REL_ERR = 0.05   # structured inputs, default recipe
 BWD_COSINE_MIN = 0.7
 BWD_REL_ERR_MAX = 0.30
 
