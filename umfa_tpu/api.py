@@ -43,6 +43,9 @@ def set_quantization_mode(
     python_bindings.cpp:98)."""
     global _global_quant_config
     with _quant_lock:
+        if precision is None:  # set_quantization_mode(None) == clear
+            _global_quant_config = None
+            return
         if config is not None:
             _global_quant_config = config
         else:

@@ -82,6 +82,20 @@ class QuantizationConfig:
     # K channel-mean (softmax-invariant), Q mean (correction row added to
     # scores), V channel-mean (added back after normalization).
     smooth: bool = True
+    # Q-mean smoothing specifically needs a compensation row added to every
+    # score tile (one VPU add per element in the kernel inner loop) — the
+    # K-mean (softmax-invariant) and V-mean (epilogue add) are free. None =
+    # precision-dependent default: OFF for INT8 (measured v5e, S=4K: struct
+    # relerr 0.0166 vs 0.0165 with it on — Q error is softmax-attenuated),
+    # ON for INT4 where Q rounding error is 16x coarser.
+    smooth_q: Optional[bool] = None
+
+    def effective_smooth_q(self) -> bool:
+        if not self.smooth:
+            return False
+        if self.smooth_q is not None:
+            return self.smooth_q
+        return Precision.INT4 in (self.q_precision, self.k_precision)
     # Experimental fully-integer P·V: P quantized to int8 (scale 1/127 —
     # P ∈ [0,1] after online softmax) and V re-quantized per kernel KV tile
     # so its scale factors out of the integer matmul. Symmetric only.

@@ -276,17 +276,36 @@ def _fwd_kernel(
         if apply_mask:
             # Rows fully masked in this block would otherwise get p = exp(0).
             p = jnp.where(mask, p, 0.0)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
-        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+        d = v.shape[1]
+        ones_col = d < _LANES
+        if ones_col:
+            # Row-sum rides the MXU: a ones column appended to V makes the
+            # P·V matmul emit sum_j(p) in column d — at d < 128 those output
+            # lanes are padding anyway, and it deletes the per-step VPU
+            # row-sum reduce (1 op per score element). Summing the SAME
+            # (possibly bf16-rounded) p the product uses keeps out exactly
+            # normalized in the weights actually applied.
+            v = jnp.concatenate(
+                [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1
+            )
+        pb = p.astype(v.dtype)
         pv = jax.lax.dot_general(
-            p.astype(v.dtype),
+            pb,
             v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=mxu,
         )
+        if ones_col:
+            psum = pv[:, d:d + 1]
+            pv = pv[:, :d]
+        else:
+            psum = jnp.sum(p, axis=-1, keepdims=True)
+        l_new = alpha * l_prev + psum
+
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
         acc_scr[...] = acc_scr[...] * alpha + pv
 
     masked = causal or window is not None or bool(seq_k % block_k)

@@ -652,8 +652,10 @@ def _quantize_operands(
     orig_dtypes = (q.dtype, k.dtype, v.dtype)
     f32 = jnp.float32
     km = None
+    smooth_q = config.effective_smooth_q()
     if config.smooth:
-        qm = jnp.mean(q.astype(f32), axis=2, keepdims=True)  # (B,Hq,1,D)
+        if smooth_q:
+            qm = jnp.mean(q.astype(f32), axis=2, keepdims=True)  # (B,Hq,1,D)
         km = jnp.mean(k.astype(f32), axis=2, keepdims=True)  # (B,Hkv,1,D)
         vm = jnp.mean(v.astype(f32), axis=2, keepdims=True)  # (B,Hkv,1,D)
 
@@ -664,7 +666,8 @@ def _quantize_operands(
             # Means feed the kernel's post-rotation subtraction: rotation is
             # linear over the sequence, so mean(Hx) = H mean(x). Downstream
             # (corr, residual qm for the backward) lives in rotated space.
-            qm = hadamard_rotate(qm)
+            if qm is not None:
+                qm = hadamard_rotate(qm)
             km = hadamard_rotate(km)
         qt_q = quantize_rows_fused(
             q, qm, precision=config.q_precision,
@@ -686,7 +689,7 @@ def _quantize_operands(
             qt_v = quantize_rows_fused(
                 v, vm, precision=config.v_precision, interpret=interpret
             )
-        if config.smooth:
+        if qm is not None:
             corr = _corr_from_quantized(qm, qt_k)
         return qt_q, qt_k, qt_v, qm, vm, corr
 
@@ -696,18 +699,19 @@ def _quantize_operands(
         # relerr 1.1% → 2.4% at seq 4K). The quantizer reads FP32 anyway;
         # original dtypes are restored on the QuantizedTensors below so STE
         # gradients come back in the input dtype.
-        q = q.astype(f32) - qm
         k = k.astype(f32) - km
         v = v.astype(f32) - vm
-        # corr_j = qm · k'_j in raw-dot units: (B, Hq, 1, Sk).
-        b, hq, _, d = qm.shape
-        hkv = k.shape[1]
-        group = hq // hkv
-        qm_g = qm.reshape(b, hkv, group, d)
-        corr = jnp.einsum(
-            "bhgd,bhkd->bhgk", qm_g, k.astype(f32),
-            preferred_element_type=f32,
-        ).reshape(b, hq, 1, k.shape[2])
+        if qm is not None:
+            q = q.astype(f32) - qm
+            # corr_j = qm · k'_j in raw-dot units: (B, Hq, 1, Sk).
+            b, hq, _, d = qm.shape
+            hkv = k.shape[1]
+            group = hq // hkv
+            qm_g = qm.reshape(b, hkv, group, d)
+            corr = jnp.einsum(
+                "bhgd,bhkd->bhgk", qm_g, k.astype(f32),
+                preferred_element_type=f32,
+            ).reshape(b, hq, 1, k.shape[2])
 
     bs = config.block_sizes
     qt_q = quantize(q, config.q_precision, config.mode, config.strategy, bs.q)
@@ -741,6 +745,33 @@ def _qflash(key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, fetch_q):
 
 
 def _qflash_fwd(key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, fetch_q):
+    from umfa_tpu.ops.quant_fused_attn import (
+        fused_path_supported,
+        fused_quantize_attend,
+    )
+
+    if fused_path_supported(
+        key.config, k.shape[2], k.shape[3], block_map, fetch_kv, bias,
+        causal=key.causal, window=key.window, seq_q=q.shape[2],
+    ):
+        # Single-launch path: quantization, attention, and the V-mean restore
+        # all happen inside one kernel (ops/quant_fused_attn.py) — no
+        # quantizer pass, no dequantized or smoothed copies in HBM.
+        out_dtype = jnp.dtype(key.out_dtype) if key.out_dtype else q.dtype
+        out, lse, qt_q, qt_k, qt_v, qm, vm = fused_quantize_attend(
+            q, k, v, bias,
+            causal=key.causal, window=key.window, scale=key.scale,
+            smooth=key.config.smooth,
+            smooth_q=key.config.effective_smooth_q(),
+            hadamard=key.config.hadamard,
+            block_sizes=key.block_sizes, out_dtype=out_dtype,
+            interpret=key.interpret,
+        )
+        return (out, lse), (
+            qt_q, qt_k, qt_v, qm, vm, bias, block_map, fetch_kv, fetch_q,
+            out, lse,
+        )
+
     v_tile_k = None
     if key.config.pv_int8:
         from umfa_tpu.ops.flash_fwd import _choose_block

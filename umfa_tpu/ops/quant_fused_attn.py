@@ -1,0 +1,700 @@
+"""Single-launch runtime-quantized flash attention (Pallas / TPU).
+
+The two-pass quantized forward (ops/quant_attention.py: quantizer pallas_call
+then attention pallas_call) loses to the repo's own bf16 fused kernel on step
+time even though the attention kernel itself is at parity — the separate
+quantizer + V-mean-restore passes cost ~0.5 ms at B2 H16 S4K (measured via
+UMFA_ABLATE, r2). The reference has the same structural flaw in worse form:
+`createQuantizedTensorFromBufferPublic` runs whole-tensor GPU quantization
+passes before every forward (MFABridge+Quantized.swift:278-294).
+
+This kernel removes the passes instead of optimizing them:
+
+  * Reads BF16/FP32 Q/K/V directly. K/V tiles are quantized **in registers
+    on first touch**, then dequantized into persistent bf16 VMEM caches.
+    Fake-quant semantics stay exact (the cache holds deq(quantized), the
+    values the STE backward reconstructs), but the inner loop runs the SAME
+    bf16 MXU ops as the dense kernel — zero per-element scale/cast work.
+    That choice is measured, not aesthetic: the v5e MXU has NO int8 rate
+    advantage at head-dim contractions (int8 matmul = 0.5x bf16 at depth
+    64, 1.0x at 128, 1.74x only at 2048 — docs/PERFORMANCE.md), so an int8
+    QK dot can only LOSE time to its scale plumbing at D <= 128.
+  * Later q-blocks hit VMEM, never HBM: K/V HBM traffic is below even the
+    dense bf16 kernel's (which re-reads K/V per q-block).
+  * Q tiles are quantized in registers per q-block and dequantized with the
+    softmax scale and per-row quant scale folded into the bf16 values.
+  * The row-sum of P rides the P·V matmul as a ones column in the V cache
+    (free MXU output lanes at D < 128), deleting the per-step VPU reduce.
+  * The quantized values + per-row scales are emitted as side outputs, so
+    the STE backward consumes the exact same residuals as the two-pass path
+    (contract: ops/quant_attention._qflash_bwd).
+  * Mean smoothing stays exact (same compensation algebra as
+    _quantize_operands): channel means are subtracted in registers before
+    rounding, the Q-mean correction row (when smooth_q) is computed once
+    per (head, tile) into a VMEM row cache, and the V-mean restore happens
+    in the finalize epilogue at zero HBM cost (also fixing the
+    degenerate-row leak flagged in ADVICE r1: fully-masked rows keep their
+    exact-zero output).
+
+Correctness constraint: the cache-fill schedule depends on grid-iteration
+order (tile ki must be filled at the first q-block that sees it), so every
+grid dimension that cycles within one (batch) is marked "arbitrary" —
+"parallel" would let a Megacore split start mid-sequence with a cold cache.
+v5e has one core; the measured cost of the conservative semantics is small
+and the batch dimension stays "parallel".
+
+Falls back (see quant_attention._qflash_fwd) for: INT4 operands, asymmetric
+strategy, block-sparse masks, and sequences whose K/V caches exceed the
+VMEM budget.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from umfa_tpu.engine.config import Precision, QuantMode, QuantStrategy
+from umfa_tpu.ops.flash_fwd import (
+    DEFAULT_MASK_VALUE,
+    _LANES,
+    BlockSizes,
+    _block_visible,
+    _choose_block,
+    _intra_block_mask,
+    _pad_seq,
+)
+from umfa_tpu.ops.quant import QuantizedTensor
+
+_QMAX = 127.0
+# P-quantization scale folded into the exp argument: p~ = exp(s - m + ln A)
+# = A*p with A chosen so truncation to int8 never exceeds 127. Truncation
+# (not rounding) is deliberate: the SAME truncated p^ feeds both the P*V
+# matmul and the row-sum, so the truncation bias cancels exactly in
+# out = sum(p^ v)/sum(p^) (a weighted average is invariant to consistent
+# weight perturbation bias only in expectation, but using one p^ for both
+# numerator and denominator keeps rows exactly normalized).
+_P_AMP = 127.49
+_LN_P_AMP = math.log(_P_AMP)
+
+
+def _right_bound(causal: bool, window) -> Optional[int]:
+    """How far right of the diagonal a row can see (None = unbounded)."""
+    r = None
+    if causal:
+        r = 0
+    if window is not None and window[1] >= 0:
+        r = window[1] if r is None else min(r, window[1])
+    return r
+
+
+def _quantize_tile(x, mean_row, hmat, per_tile: bool = False):
+    """Register-space quantization: (tile, D) f32 -> int8 + scale.
+
+    Identical math to quant_fused._quant_rows_kernel (mean subtract ->
+    optional Hadamard -> absmax -> exact-division round) so the emitted
+    residuals match the two-pass quantizer's contract.
+
+    per_tile=True uses ONE scalar scale for the whole tile (still emitted
+    broadcast to (tile, 1) so the residual keeps the ROW-mode layout): the
+    kernel can then fold K's scale into Q's per-row column instead of paying
+    a second (block_q, block_k) broadcast multiply per inner step."""
+    if hmat is not None:
+        x = jax.lax.dot_general(
+            x, hmat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    if mean_row is not None:
+        x = x - mean_row
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    if per_tile:
+        absmax = jnp.broadcast_to(
+            jnp.max(absmax, axis=0, keepdims=True), absmax.shape
+        )
+    scale = jnp.maximum(absmax, 1e-12) / _QMAX
+    q = jnp.clip(jnp.round(x / scale), -_QMAX - 1, _QMAX)
+    return q.astype(jnp.int8), scale
+
+
+def _fused_qattn_kernel(
+    *refs,
+    scale: float,
+    causal: bool,
+    window,
+    block_q: int,
+    block_k: int,
+    seq_q: int,
+    seq_k: int,
+    num_k_blocks: int,
+    head_dim: int,
+    group: int,
+    smooth: bool,
+    smooth_q: bool,
+    hadamard: bool,
+    has_bias: bool,
+    pv_int8: bool,
+    ones_col: bool,
+    out_dtype,
+):
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    idx = 3
+    qm_ref = km_ref = vm_ref = h_ref = bias_ref = None
+    if smooth_q:
+        qm_ref = refs[idx]
+        idx += 1
+    if smooth:
+        km_ref, vm_ref = refs[idx:idx + 2]
+        idx += 2
+    if hadamard:
+        h_ref = refs[idx]
+        idx += 1
+    if has_bias:
+        bias_ref = refs[idx]
+        idx += 1
+    (o_ref, lse_ref, qi8_ref, qs_ref, ki8_ref, ks_ref, vi8_ref, vs_ref,
+     m_scr, l_scr, acc_scr, q_scr, kcache, vcache) = refs[idx:idx + 14]
+    idx += 14
+    cc = svc = None
+    if smooth_q:
+        cc = refs[idx]
+        idx += 1
+    if pv_int8:
+        svc = refs[idx]
+        idx += 1
+
+    h = pl.program_id(1)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    q_start = qi * block_q
+    k_start = ki * block_k
+
+    visible, partial = _block_visible(
+        q_start, k_start,
+        block_q=block_q, block_k=block_k,
+        causal=causal, window=window, seq_q=seq_q, seq_k=seq_k,
+    )
+
+    # First q-block that sees tile ki (cache-fill schedule; see _last_filled
+    # for the matching HBM index maps).
+    rb = _right_bound(causal, window)
+    if rb is None:
+        first_qi = 0
+    else:
+        first_qi = jnp.maximum(ki * block_k - rb, 0) // block_q
+    fill = jnp.logical_and(qi == first_qi, h % group == 0)
+
+    hmat = h_ref[...] if h_ref is not None else None
+
+    @pl.when(fill)
+    def _fill_kv_cache():
+        km = km_ref[0, 0] if km_ref is not None else None
+        # Quantize per-row, then DEQUANTIZE into a bf16 cache. The MXU has
+        # no int8 rate advantage at head-dim contractions (measured v5e,
+        # docs/PERFORMANCE.md: int8 matmul is 0.5x bf16 at depth 64, 1.0x at
+        # 128 — packing needs >=256-deep contractions), so an int8 QK dot
+        # only adds per-element cast+scale VPU work to a VPU-bound loop.
+        # Fake-quant semantics are exact: the cache holds deq(k'), the same
+        # values the STE backward reconstructs from the residuals (modulo
+        # one bf16 rounding, below the int8 quantization error).
+        k_i8, sk = _quantize_tile(k_ref[0, 0].astype(jnp.float32), km, hmat)
+        kcache[pl.ds(k_start, block_k), :] = (
+            k_i8.astype(jnp.float32) * sk
+        ).astype(jnp.bfloat16)
+        ki8_ref[0, 0] = k_i8
+        ks_ref[0, 0] = sk
+        vm = vm_ref[0, 0] if vm_ref is not None else None
+        if pv_int8:
+            # V per-tile: its scale must be constant over the P·V
+            # contraction so it factors out of the integer matmul.
+            v_i8, sv = _quantize_tile(
+                v_ref[0, 0].astype(jnp.float32), vm, None, per_tile=True
+            )
+            v_tile = v_i8
+            one = jnp.ones((block_k, 1), jnp.int8)
+            svc[:, pl.ds(k_start, block_k)] = jnp.broadcast_to(
+                sv.reshape(1, block_k), (8, block_k)
+            )
+        else:
+            v_i8, sv = _quantize_tile(
+                v_ref[0, 0].astype(jnp.float32), vm, None
+            )
+            v_tile = v_i8.astype(jnp.bfloat16) * sv.astype(jnp.bfloat16)
+            one = jnp.ones((block_k, 1), jnp.bfloat16)
+        if ones_col:
+            # Rowsum rides the MXU: a literal ones column appended to the V
+            # cache makes the P·V matmul emit sum_j(p) in column D — those
+            # output lanes are wasted at D < 128 anyway, and it deletes the
+            # per-step VPU row-sum reduce.
+            pad_w = vcache.shape[1] - head_dim - 1
+            cols = [v_tile, one]
+            if pad_w:
+                cols.append(jnp.zeros((block_k, pad_w), v_tile.dtype))
+            v_tile = jnp.concatenate(cols, axis=1)
+        vcache[pl.ds(k_start, block_k), :] = v_tile
+        vi8_ref[0, 0] = v_i8
+        vs_ref[0, 0] = sv
+
+    if smooth_q:
+        # Q-mean compensation row, cached per (head, KV tile) — computed
+        # once from the cached dequantized K (exact w.r.t. the STE contract:
+        # the cache IS deq(k')) instead of a per-step GEMV in the inner
+        # loop. Per-q-head (qm differs within a GQA group), so keyed on
+        # first-touch, not on the group-leader fill.
+        @pl.when(qi == first_qi)
+        def _fill_comp():
+            k_bf = kcache[pl.ds(k_start, block_k), :]
+            c_row = jax.lax.dot_general(
+                qm_ref[0, 0].astype(jnp.bfloat16), k_bf,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            cc[:, pl.ds(k_start, block_k)] = jnp.broadcast_to(
+                c_row * scale, (8, block_k)
+            )
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        qm = qm_ref[0, 0] if qm_ref is not None else None
+        q_i8, sq = _quantize_tile(q_ref[0, 0].astype(jnp.float32), qm, hmat)
+        # Dequantize with softmax scale AND per-row quant scale folded into
+        # the bf16 values: the step loop's score tile needs ZERO elementwise
+        # scale work — identical VPU cost to the dense bf16 kernel. The
+        # emitted residual scale stays raw.
+        q_scr[...] = (q_i8.astype(jnp.float32) * (sq * scale)).astype(
+            jnp.bfloat16
+        )
+        qi8_ref[0, 0] = q_i8
+        qs_ref[0, 0] = sq
+
+    def _do_update(apply_mask: bool):
+        k_bf = kcache[pl.ds(k_start, block_k), :]
+        s = jax.lax.dot_general(
+            q_scr[...], k_bf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if cc is not None:
+            s = s + cc[0:1, pl.ds(k_start, block_k)]
+        if bias_ref is not None:
+            s = s + bias_ref[0, 0].astype(jnp.float32)
+
+        if apply_mask:
+            mask = _intra_block_mask(
+                q_start, k_start,
+                block_q=block_q, block_k=block_k,
+                causal=causal, window=window, seq_k=seq_k,
+            )
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_scr[:, 0:1]
+        l_prev = l_scr[:, 0:1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+
+        if pv_int8:
+            # p~ = A*exp(s - m), A = 127.49 folded into the exp argument
+            # (free), truncated to int8. l and acc both consume the SAME
+            # truncated p^, so normalization stays exact and the 1/A scale
+            # cancels in out = acc/l (lse re-adds ln A at finalize).
+            p8 = jnp.exp(s - (m_new - _LN_P_AMP)).astype(jnp.int8)
+            if apply_mask:
+                p8 = jnp.where(mask, p8, 0)
+            pv = jax.lax.dot_general(
+                p8, vcache[pl.ds(k_start, block_k), :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            if ones_col:
+                psum = pv[:, head_dim:head_dim + 1]
+            else:
+                psum = jnp.sum(
+                    p8.astype(jnp.float32), axis=-1, keepdims=True
+                )
+            l_new = alpha * l_prev + psum
+            sv1 = svc[0:1, pl.ds(k_start, 1)]
+            acc_scr[...] = acc_scr[...] * alpha + pv[:, :head_dim] * sv1
+        else:
+            p = jnp.exp(s - m_new)
+            if apply_mask:
+                p = jnp.where(mask, p, 0.0)
+            pb = p.astype(jnp.bfloat16)
+            pv = jax.lax.dot_general(
+                pb, vcache[pl.ds(k_start, block_k), :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if ones_col:
+                # l from the matmul's ones column: sums the SAME bf16
+                # weights the P·V product used, so out = Σp_bf16·v / Σp_bf16
+                # is exactly normalized in the weights actually applied.
+                psum = pv[:, head_dim:head_dim + 1]
+            else:
+                psum = jnp.sum(p, axis=-1, keepdims=True)
+            l_new = alpha * l_prev + psum
+            acc_scr[...] = acc_scr[...] * alpha + pv[:, :head_dim]
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    masked = causal or window is not None or bool(seq_k % block_k)
+    if masked:
+        @pl.when(jnp.logical_and(visible, partial))
+        def _compute_masked():
+            _do_update(True)
+
+        @pl.when(jnp.logical_and(visible, jnp.logical_not(partial)))
+        def _compute_full():
+            _do_update(False)
+    else:
+        @pl.when(visible)
+        def _compute():
+            _do_update(False)
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        m = m_scr[:, 0:1]
+        l = l_scr[:, 0:1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out = acc_scr[...] / l_safe
+        if vm_ref is not None:
+            # V-mean restore (softmax rows sum to 1) — except fully-masked
+            # rows, which must keep the kernel's exact zero.
+            out = jnp.where(l == 0.0, 0.0, out + vm_ref[0, 0])
+        o_ref[0, 0] = out.astype(out_dtype)
+        # pv_int8 tracks l in p^ = A*p units; ln A comes back off the LSE.
+        l_off = _LN_P_AMP if pv_int8 else 0.0
+        lse = jnp.where(
+            l == 0.0, DEFAULT_MASK_VALUE, m + jnp.log(l_safe) - l_off
+        )
+        lse_ref[0, 0] = lse
+
+
+def fused_quantize_attend(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    *,
+    causal: bool = False,
+    window: Optional[tuple] = None,
+    scale: Optional[float] = None,
+    smooth: bool = True,
+    smooth_q: Optional[bool] = None,
+    hadamard: bool = False,
+    pv_int8: bool = False,
+    mean_stride: int = 4,
+    block_sizes: BlockSizes = BlockSizes(),
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Runtime INT8 quantization + fused attention in one kernel launch.
+
+    Returns (out, lse, qt_q, qt_k, qt_v, qm, vm): the attention output, its
+    LSE, the emitted quantized residuals (QuantizedTensor, ROW/SYMMETRIC),
+    and the smoothing means actually subtracted (None when smooth=False).
+
+    Means are estimated from a stride-`mean_stride` row subsample: the
+    smoothing compensation is exact for ANY subtracted vector (see
+    _quantize_operands), so a cheap estimate only changes how much dynamic
+    range the smoothing removes, never correctness.
+
+    `smooth_q` (default: follows `smooth`) controls Q-mean smoothing
+    separately: K-mean is softmax-invariant and V-mean is an epilogue add —
+    both are effectively free — but the Q-mean needs a compensation row
+    added to every score tile (one VPU add per element). Turning only
+    smooth_q off keeps most of the accuracy win at almost-bf16 speed.
+
+    `pv_int8` runs P·V as int8×int8→int32 with the ×127 P scale folded into
+    the exp argument and a per-tile V scale — the ONE attention matmul whose
+    contraction (block_k) is deep enough for the int8 MXU rate. It is OFF by
+    default: int8 P is quantized relative to the row max, so *diffuse*
+    attention rows (weights ~1/S, e.g. i.i.d. inputs, early training) lose
+    most of their mass to truncation (measured 7% relerr vs 1.4% at S=512).
+    Opt in for peaked/production attention only.
+    """
+    batch, num_heads, seq_q, head_dim = q.shape
+    _, num_kv_heads, seq_k, _ = k.shape
+    group = num_heads // num_kv_heads
+    if scale is None:
+        scale = head_dim**-0.5
+    if smooth_q is None:
+        # This kernel is INT8-only; the measured INT8 default is off (see
+        # QuantizationConfig.effective_smooth_q).
+        smooth_q = False
+    smooth_q = smooth_q and smooth
+    interpret = interpret or jax.default_backend() == "cpu"
+    fp16_out = jnp.dtype(out_dtype) == jnp.float16
+    if fp16_out:
+        out_dtype = jnp.float32
+
+    block_q = _choose_block(block_sizes.block_q, seq_q, head_dim)
+    block_k = _choose_block(block_sizes.block_k, seq_k, head_dim)
+
+    q_pad = _pad_seq(q, block_q, 2)
+    k_pad = _pad_seq(k, block_k, 2)
+    v_pad = _pad_seq(v, block_k, 2)
+    padded_sq = q_pad.shape[2]
+    padded_sk = k_pad.shape[2]
+    num_q_blocks = padded_sq // block_q
+    num_k_blocks = padded_sk // block_k
+
+    qm = km = vm = None
+    if smooth:
+        # Contiguous-prefix mean estimate: strided row subsampling still
+        # touches every (8,128) HBM tile AND defeats XLA's fast reduce
+        # (~0.2 ms measured at S=4K); a prefix slice streams. The smoothing
+        # compensation is exact for ANY subtracted vector, so estimator
+        # quality only affects how much range the smoothing removes.
+        n = min(seq_k, max(1024, 8 * mean_stride))
+        f32 = jnp.float32
+        if smooth_q:
+            qm = jnp.mean(
+                q[:, :, : min(seq_q, n)].astype(f32), axis=2, keepdims=True
+            )
+        km = jnp.mean(k[:, :, :n].astype(f32), axis=2, keepdims=True)
+        vm = jnp.mean(v[:, :, :n].astype(f32), axis=2, keepdims=True)
+        if hadamard:
+            from umfa_tpu.ops.hadamard import hadamard_rotate
+
+            if qm is not None:
+                qm = hadamard_rotate(qm)
+            km = hadamard_rotate(km)
+
+    rb = _right_bound(causal, window)
+
+    def _last_filled(qi, ki):
+        """Largest tile already cache-filled at step (qi, ki) — the K/V HBM
+        index maps follow it so the fetch happens exactly on first touch and
+        the residual write-back always flushes the tile the buffer holds."""
+        if rb is None:
+            return jnp.where(qi > 0, num_k_blocks - 1, ki)
+        a = (qi * block_q - 1 + rb) // block_k
+        bmax = ((qi + 1) * block_q - 1 + rb) // block_k
+        t = jnp.maximum(a, jnp.minimum(ki, bmax))
+        return jnp.clip(t, 0, num_k_blocks - 1)
+
+    def kv_idx(b, h, qi, ki):
+        return (b, h // group, _last_filled(qi, ki), 0)
+
+    def kv_res_idx(b, h, qi, ki):
+        # Residuals are written during the group-leader pass only; later
+        # heads freeze the index on the last tile (whose data the buffer
+        # still holds) so stale flushes stay correct.
+        t = jnp.where(
+            h % group == 0, _last_filled(qi, ki), num_k_blocks - 1
+        )
+        return (b, h // group, t, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_k, head_dim), kv_idx),
+        pl.BlockSpec((1, 1, block_k, head_dim), kv_idx),
+    ]
+    args = [q_pad, k_pad, v_pad]
+    if smooth_q:
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, head_dim), lambda b, h, i, j: (b, h, 0, 0))
+        )
+        args.append(qm)
+    if smooth:
+        in_specs += [
+            pl.BlockSpec(
+                (1, 1, 1, head_dim), lambda b, h, i, j: (b, h // group, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, head_dim), lambda b, h, i, j: (b, h // group, 0, 0)
+            ),
+        ]
+        args += [km, vm]
+    if hadamard:
+        from umfa_tpu.ops.quant_fused import hadamard_matrix
+
+        in_specs.append(
+            pl.BlockSpec((head_dim, head_dim), lambda b, h, i, j: (0, 0))
+        )
+        args.append(hadamard_matrix(head_dim))
+    has_bias = bias is not None
+    if has_bias:
+        while bias.ndim < 4:
+            bias = bias[None]
+        bb, bh = bias.shape[0], bias.shape[1]
+        bq_bcast = bias.shape[2] == 1
+        bias = _pad_seq(bias, block_k, 3)
+        if not bq_bcast:
+            bias = _pad_seq(bias, block_q, 2)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1, 1 if bq_bcast else block_q, block_k),
+                lambda b, h, i, j, bb=bb, bh=bh, bq=bq_bcast: (
+                    b if bb > 1 else 0,
+                    h if bh > 1 else 0,
+                    0 if bq else i,
+                    j,
+                ),
+            )
+        )
+        args.append(bias)
+
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_k, head_dim), kv_res_idx),
+        pl.BlockSpec((1, 1, block_k, 1), kv_res_idx),
+        pl.BlockSpec((1, 1, block_k, head_dim), kv_res_idx),
+        pl.BlockSpec((1, 1, block_k, 1), kv_res_idx),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(
+            (batch, num_heads, padded_sq, head_dim), jnp.dtype(out_dtype)
+        ),
+        jax.ShapeDtypeStruct((batch, num_heads, padded_sq, 1), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (batch, num_heads, padded_sq, head_dim), jnp.int8
+        ),
+        jax.ShapeDtypeStruct((batch, num_heads, padded_sq, 1), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (batch, num_kv_heads, padded_sk, head_dim), jnp.int8
+        ),
+        jax.ShapeDtypeStruct((batch, num_kv_heads, padded_sk, 1), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (batch, num_kv_heads, padded_sk, head_dim), jnp.int8
+        ),
+        jax.ShapeDtypeStruct((batch, num_kv_heads, padded_sk, 1), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((block_q, _LANES), jnp.float32),   # m
+        pltpu.VMEM((block_q, _LANES), jnp.float32),   # l
+        pltpu.VMEM((block_q, head_dim), jnp.float32), # acc
+        pltpu.VMEM((block_q, head_dim), jnp.bfloat16),  # q (deq, scale folded)
+        pltpu.VMEM((padded_sk, head_dim), jnp.bfloat16),  # K cache (deq)
+    ]
+    # ones_col: at D < 128 the P·V MXU output lanes are half-wasted — a ones
+    # column there yields the row-sum for free. At D >= 128 widening the
+    # output would double the matmul, so the kernel sums p on the VPU.
+    ones_col = head_dim < _LANES
+    v_w = max(head_dim, _LANES) if ones_col else head_dim
+    scratch_shapes.append(
+        pltpu.VMEM((padded_sk, v_w), jnp.int8 if pv_int8 else jnp.bfloat16)
+    )
+    if smooth_q:
+        # Q-mean compensation row cache (per current head).
+        scratch_shapes.append(pltpu.VMEM((8, padded_sk), jnp.float32))
+    if pv_int8:
+        # per-tile V scale row cache
+        scratch_shapes.append(pltpu.VMEM((8, padded_sk), jnp.float32))
+
+    kernel = functools.partial(
+        _fused_qattn_kernel,
+        scale=scale, causal=causal, window=window,
+        block_q=block_q, block_k=block_k,
+        seq_q=seq_q, seq_k=seq_k,
+        num_k_blocks=num_k_blocks,
+        head_dim=head_dim, group=group,
+        smooth=smooth, smooth_q=smooth_q, hadamard=hadamard,
+        has_bias=has_bias, pv_int8=pv_int8, ones_col=ones_col,
+        out_dtype=jnp.dtype(out_dtype),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(batch, num_heads, num_q_blocks, num_k_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * batch * num_heads * seq_q * seq_k * head_dim,
+            bytes_accessed=q_pad.size * 2 + k_pad.size * 2 + v_pad.size * 2
+            + batch * num_heads * seq_q * head_dim * 4,
+            transcendentals=batch * num_heads * seq_q * seq_k,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "arbitrary", "arbitrary", "arbitrary"
+            ),
+            # Persistent K/V VMEM caches + pipeline buffers overflow the
+            # default 16 MiB scoped-vmem budget by ~36 KiB at S=4K; the
+            # fused_path_supported gate keeps actual usage well under this.
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    out, lse, q_i8, q_s, k_i8, k_s, v_i8, v_s = outs
+
+    out = out[:, :, :seq_q]
+    if fp16_out:
+        out = out.astype(jnp.float16)
+
+    def qt(vals, scales, shape, dtype):
+        return QuantizedTensor(
+            values=vals[:, :, :shape[2]],
+            scales=scales[:, :, :shape[2]],
+            zero_points=None,
+            row_sums=None,
+            precision=Precision.INT8,
+            mode=QuantMode.ROW,
+            strategy=QuantStrategy.SYMMETRIC,
+            block_size=0,
+            orig_shape=shape,
+            orig_dtype=jnp.dtype(dtype),
+        )
+
+    qt_q = qt(q_i8, q_s, q.shape, q.dtype)
+    qt_k = qt(k_i8, k_s, k.shape, k.dtype)
+    qt_v = qt(v_i8, v_s, v.shape, v.dtype)
+    return out, lse[:, :, :seq_q, 0], qt_q, qt_k, qt_v, qm, vm
+
+
+def fused_path_supported(
+    config, seq_k: int, head_dim: int, block_map, fetch_kv, bias,
+    *, causal: bool, window, seq_q: int, vmem_budget: int = 6 * 2**20
+) -> bool:
+    """Whether the single-launch fused path can serve this call.
+
+    The K/V VMEM caches (int8 + bf16 + scale rows, lane-padded to 128) must
+    fit the budget; INT4/asymmetric/block-sparse/pv_int8 configs use the
+    two-pass route. `UMFA_DISABLE_FUSED_QUANT=1` forces the two-pass route
+    (debug/ablation knob, mirroring UMFA_DISABLE_FUSED).
+    """
+    import os
+
+    if os.environ.get("UMFA_DISABLE_FUSED_QUANT", "0") == "1":
+        return False
+    if config.mode != QuantMode.ROW:
+        return False
+    if config.strategy != QuantStrategy.SYMMETRIC:
+        return False
+    if Precision.INT4 in (
+        config.q_precision, config.k_precision, config.v_precision
+    ):
+        return False
+    if config.pv_int8:
+        # config-level pv_int8 keeps the two-pass BLOCK-mode V contract
+        # (round-to-nearest P); the fused kernel's folded-truncation variant
+        # is reachable via fused_quantize_attend(pv_int8=True).
+        return False
+    if block_map is not None or fetch_kv is not None:
+        return False
+    lanes = max(head_dim, 128)
+    s_pad = ((seq_k + 2047) // 2048) * 2048
+    # bf16 K cache + (bf16|int8) V cache + comp/scale row caches.
+    cache_bytes = s_pad * lanes * 4 + 2 * 8 * s_pad * 4
+    if cache_bytes > vmem_budget:
+        return False
+    if _right_bound(causal, window) is not None:
+        # Cache-fill schedule formulas assume self-attention geometry.
+        if seq_q != seq_k:
+            return False
+    return True
