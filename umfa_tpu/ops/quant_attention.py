@@ -734,39 +734,60 @@ def _quantize_operands(
     return qt_q, qt_k, qt_v, qm, vm, corr
 
 
+def _try_fused_single_launch(
+    key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, emit_residuals: bool
+):
+    """Route to the single-launch kernel (ops/quant_fused_attn.py) when
+    supported: quantization, attention, and the V-mean restore all happen
+    inside one kernel — no quantizer pass, no dequantized or smoothed copies
+    in HBM. Returns None when the config needs the two-pass route."""
+    from umfa_tpu.ops.quant_fused_attn import (
+        fused_path_supported,
+        fused_quantize_attend,
+    )
+
+    if not fused_path_supported(
+        key.config, k.shape[2], k.shape[3], block_map, fetch_kv, bias,
+        causal=key.causal, window=key.window, seq_q=q.shape[2],
+    ):
+        return None
+    out_dtype = jnp.dtype(key.out_dtype) if key.out_dtype else q.dtype
+    return fused_quantize_attend(
+        q, k, v, bias,
+        causal=key.causal, window=key.window, scale=key.scale,
+        smooth=key.config.smooth,
+        smooth_q=key.config.effective_smooth_q(),
+        hadamard=key.config.hadamard,
+        emit_residuals=emit_residuals,
+        block_sizes=key.block_sizes, out_dtype=out_dtype,
+        interpret=key.interpret,
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _qflash(key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, fetch_q):
     """Differentiable quantized attention returning (out, lse). LSE is
     merge-grade only when config.smooth is False — smoothing shifts LSE by a
     per-chunk constant, which is softmax-invariant locally but breaks
     cross-chunk online-softmax merges (ring attention disables smoothing)."""
+    # Primal (inference) call: residual emission elided at the kernel level
+    # — Pallas outputs are opaque to XLA DCE, so the inference path must not
+    # write them at all.
+    fused = _try_fused_single_launch(
+        key, q, k, v, bias, block_map, fetch_kv, emit_residuals=False
+    )
+    if fused is not None:
+        return fused[0], fused[1]
     (out, lse), _ = _qflash_fwd(key, q, k, v, bias, block_map, fetch_kv, fetch_q)
     return out, lse
 
 
 def _qflash_fwd(key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, fetch_q):
-    from umfa_tpu.ops.quant_fused_attn import (
-        fused_path_supported,
-        fused_quantize_attend,
+    fused = _try_fused_single_launch(
+        key, q, k, v, bias, block_map, fetch_kv, emit_residuals=True
     )
-
-    if fused_path_supported(
-        key.config, k.shape[2], k.shape[3], block_map, fetch_kv, bias,
-        causal=key.causal, window=key.window, seq_q=q.shape[2],
-    ):
-        # Single-launch path: quantization, attention, and the V-mean restore
-        # all happen inside one kernel (ops/quant_fused_attn.py) — no
-        # quantizer pass, no dequantized or smoothed copies in HBM.
-        out_dtype = jnp.dtype(key.out_dtype) if key.out_dtype else q.dtype
-        out, lse, qt_q, qt_k, qt_v, qm, vm = fused_quantize_attend(
-            q, k, v, bias,
-            causal=key.causal, window=key.window, scale=key.scale,
-            smooth=key.config.smooth,
-            smooth_q=key.config.effective_smooth_q(),
-            hadamard=key.config.hadamard,
-            block_sizes=key.block_sizes, out_dtype=out_dtype,
-            interpret=key.interpret,
-        )
+    if fused is not None:
+        out, lse, qt_q, qt_k, qt_v, qm, vm = fused
         return (out, lse), (
             qt_q, qt_k, qt_v, qm, vm, bias, block_map, fetch_kv, fetch_q,
             out, lse,

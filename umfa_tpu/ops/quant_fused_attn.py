@@ -37,11 +37,11 @@ This kernel removes the passes instead of optimizing them:
     exact-zero output).
 
 Correctness constraint: the cache-fill schedule depends on grid-iteration
-order (tile ki must be filled at the first q-block that sees it), so every
-grid dimension that cycles within one (batch) is marked "arbitrary" —
-"parallel" would let a Megacore split start mid-sequence with a cold cache.
-v5e has one core; the measured cost of the conservative semantics is small
-and the batch dimension stays "parallel".
+order (tile ki must be filled at the first q-block that sees it), so the
+qi/ki dimensions are marked "arbitrary" — "parallel" would let a Megacore
+split start mid-sequence with a cold cache. Batch is always "parallel";
+heads are "parallel" too when group == 1 (each head fills its own cache)
+but "arbitrary" under GQA (the group shares the leader head's fill).
 
 Falls back (see quant_attention._qflash_fwd) for: INT4 operands, asymmetric
 strategy, block-sparse masks, and sequences whose K/V caches exceed the
@@ -93,24 +93,29 @@ def _right_bound(causal: bool, window) -> Optional[int]:
     return r
 
 
-def _quantize_tile(x, mean_row, hmat, per_tile: bool = False):
-    """Register-space quantization: (tile, D) f32 -> int8 + scale.
+def _rotate(x, hmat):
+    """Hadamard pre-rotation (orthogonal; QK^T-invariant when applied to
+    both Q and K)."""
+    if hmat is None:
+        return x
+    return jax.lax.dot_general(
+        x, hmat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _quantize_tile(x, mean_row, per_tile: bool = False):
+    """Register-space quantization: pre-rotated (tile, D) f32 -> int8+scale.
 
     Identical math to quant_fused._quant_rows_kernel (mean subtract ->
-    optional Hadamard -> absmax -> exact-division round) so the emitted
-    residuals match the two-pass quantizer's contract.
+    absmax -> exact-division round) so the emitted residuals match the
+    two-pass quantizer's contract.
 
     per_tile=True uses ONE scalar scale for the whole tile (still emitted
-    broadcast to (tile, 1) so the residual keeps the ROW-mode layout): the
-    kernel can then fold K's scale into Q's per-row column instead of paying
-    a second (block_q, block_k) broadcast multiply per inner step."""
-    if hmat is not None:
-        x = jax.lax.dot_general(
-            x, hmat,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+    broadcast to (tile, 1) so the residual keeps the ROW-mode layout) — the
+    pv_int8 path needs V's scale constant over the contraction."""
     if mean_row is not None:
         x = x - mean_row
     absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
@@ -141,34 +146,48 @@ def _fused_qattn_kernel(
     has_bias: bool,
     pv_int8: bool,
     ones_col: bool,
+    emit_residuals: bool,
     out_dtype,
 ):
     refs = list(refs)
     q_ref, k_ref, v_ref = refs[:3]
     idx = 3
-    qm_ref = km_ref = vm_ref = h_ref = bias_ref = None
-    if smooth_q:
-        qm_ref = refs[idx]
-        idx += 1
-    if smooth:
-        km_ref, vm_ref = refs[idx:idx + 2]
-        idx += 2
+    h_ref = bias_ref = None
     if hadamard:
         h_ref = refs[idx]
         idx += 1
     if has_bias:
         bias_ref = refs[idx]
         idx += 1
-    (o_ref, lse_ref, qi8_ref, qs_ref, ki8_ref, ks_ref, vi8_ref, vs_ref,
-     m_scr, l_scr, acc_scr, q_scr, kcache, vcache) = refs[idx:idx + 14]
-    idx += 14
-    cc = svc = None
+    o_ref, lse_ref = refs[idx:idx + 2]
+    idx += 2
+    qi8_ref = qs_ref = ki8_ref = ks_ref = vi8_ref = vs_ref = None
+    qm_out = vm_out = None
+    if emit_residuals:
+        (qi8_ref, qs_ref, ki8_ref, ks_ref, vi8_ref,
+         vs_ref) = refs[idx:idx + 6]
+        idx += 6
+        if smooth_q:
+            qm_out = refs[idx]
+            idx += 1
+        if smooth:
+            vm_out = refs[idx]
+            idx += 1
+    (m_scr, l_scr, acc_scr, q_scr, kcache, vcache) = refs[idx:idx + 6]
+    idx += 6
+    cc = svc = qm_scr = km_scr = vm_scr = None
     if smooth_q:
         cc = refs[idx]
         idx += 1
     if pv_int8:
         svc = refs[idx]
         idx += 1
+    if smooth_q:
+        qm_scr = refs[idx]
+        idx += 1
+    if smooth:
+        km_scr, vm_scr = refs[idx:idx + 2]
+        idx += 2
 
     h = pl.program_id(1)
     qi = pl.program_id(2)
@@ -195,7 +214,29 @@ def _fused_qattn_kernel(
 
     @pl.when(fill)
     def _fill_kv_cache():
-        km = km_ref[0, 0] if km_ref is not None else None
+        k_rot = _rotate(k_ref[0, 0].astype(jnp.float32), hmat)
+        v_f32 = v_ref[0, 0].astype(jnp.float32)
+        if smooth:
+            # Channel means estimated IN-KERNEL from tile 0 (rows the fill
+            # already holds in registers) — no auxiliary XLA reduction
+            # passes, no per-(b,h) mean input streams. The compensation
+            # algebra is exact for ANY subtracted vector, so the estimator
+            # only affects how much dynamic range smoothing removes. Tile 0
+            # fills first (grid step (qi=0, ki=0)), so later fills read the
+            # stored vector.
+            @pl.when(ki == 0)
+            def _kv_means():
+                km_row = jnp.mean(k_rot, axis=0, keepdims=True)
+                km_scr[...] = jnp.broadcast_to(km_row, km_scr.shape)
+                vm_row = jnp.mean(v_f32, axis=0, keepdims=True)
+                vm_scr[...] = jnp.broadcast_to(vm_row, vm_scr.shape)
+                if vm_out is not None:
+                    vm_out[0, 0] = vm_row
+
+            km = km_scr[0:1, :]
+            vm = vm_scr[0:1, :]
+        else:
+            km = vm = None
         # Quantize per-row, then DEQUANTIZE into a bf16 cache. The MXU has
         # no int8 rate advantage at head-dim contractions (measured v5e,
         # docs/PERFORMANCE.md: int8 matmul is 0.5x bf16 at depth 64, 1.0x at
@@ -204,19 +245,17 @@ def _fused_qattn_kernel(
         # Fake-quant semantics are exact: the cache holds deq(k'), the same
         # values the STE backward reconstructs from the residuals (modulo
         # one bf16 rounding, below the int8 quantization error).
-        k_i8, sk = _quantize_tile(k_ref[0, 0].astype(jnp.float32), km, hmat)
+        k_i8, sk = _quantize_tile(k_rot, km)
         kcache[pl.ds(k_start, block_k), :] = (
             k_i8.astype(jnp.float32) * sk
         ).astype(jnp.bfloat16)
-        ki8_ref[0, 0] = k_i8
-        ks_ref[0, 0] = sk
-        vm = vm_ref[0, 0] if vm_ref is not None else None
+        if ki8_ref is not None:
+            ki8_ref[0, 0] = k_i8
+            ks_ref[0, 0] = sk
         if pv_int8:
             # V per-tile: its scale must be constant over the P·V
             # contraction so it factors out of the integer matmul.
-            v_i8, sv = _quantize_tile(
-                v_ref[0, 0].astype(jnp.float32), vm, None, per_tile=True
-            )
+            v_i8, sv = _quantize_tile(v_f32, vm, per_tile=True)
             v_tile = v_i8
             one = jnp.ones((block_k, 1), jnp.int8)
             svc[:, pl.ds(k_start, block_k)] = jnp.broadcast_to(
@@ -239,34 +278,32 @@ def _fused_qattn_kernel(
                 cols.append(jnp.zeros((block_k, pad_w), v_tile.dtype))
             v_tile = jnp.concatenate(cols, axis=1)
         vcache[pl.ds(k_start, block_k), :] = v_tile
-        vi8_ref[0, 0] = v_i8
-        vs_ref[0, 0] = sv
-
-    if smooth_q:
-        # Q-mean compensation row, cached per (head, KV tile) — computed
-        # once from the cached dequantized K (exact w.r.t. the STE contract:
-        # the cache IS deq(k')) instead of a per-step GEMV in the inner
-        # loop. Per-q-head (qm differs within a GQA group), so keyed on
-        # first-touch, not on the group-leader fill.
-        @pl.when(qi == first_qi)
-        def _fill_comp():
-            k_bf = kcache[pl.ds(k_start, block_k), :]
-            c_row = jax.lax.dot_general(
-                qm_ref[0, 0].astype(jnp.bfloat16), k_bf,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            cc[:, pl.ds(k_start, block_k)] = jnp.broadcast_to(
-                c_row * scale, (8, block_k)
-            )
+        if vi8_ref is not None:
+            vi8_ref[0, 0] = v_i8
+            vs_ref[0, 0] = sv
 
     @pl.when(ki == 0)
     def _init():
         m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
-        qm = qm_ref[0, 0] if qm_ref is not None else None
-        q_i8, sq = _quantize_tile(q_ref[0, 0].astype(jnp.float32), qm, hmat)
+        q_rot = _rotate(q_ref[0, 0].astype(jnp.float32), hmat)
+        if smooth_q:
+            # qm estimated from q-block 0 (grid step (qi=0, ki=0) precedes
+            # everything in this (b,h)) and pinned for ALL q-blocks — the
+            # compensation rows in cc are computed against this one vector,
+            # so every block must subtract the same qm.
+            @pl.when(qi == 0)
+            def _q_mean():
+                qm_row = jnp.mean(q_rot, axis=0, keepdims=True)
+                qm_scr[...] = jnp.broadcast_to(qm_row, qm_scr.shape)
+                if qm_out is not None:
+                    qm_out[0, 0] = qm_row
+
+            qm = qm_scr[0:1, :]
+        else:
+            qm = None
+        q_i8, sq = _quantize_tile(q_rot, qm)
         # Dequantize with softmax scale AND per-row quant scale folded into
         # the bf16 values: the step loop's score tile needs ZERO elementwise
         # scale work — identical VPU cost to the dense bf16 kernel. The
@@ -274,8 +311,28 @@ def _fused_qattn_kernel(
         q_scr[...] = (q_i8.astype(jnp.float32) * (sq * scale)).astype(
             jnp.bfloat16
         )
-        qi8_ref[0, 0] = q_i8
-        qs_ref[0, 0] = sq
+        if qi8_ref is not None:
+            qi8_ref[0, 0] = q_i8
+            qs_ref[0, 0] = sq
+
+    if smooth_q:
+        # Q-mean compensation row, cached per (head, KV tile) — computed
+        # once from the cached dequantized K (exact w.r.t. the STE contract:
+        # the cache IS deq(k')) instead of a per-step GEMV in the inner
+        # loop. Per-q-head (qm differs within a GQA group), so keyed on
+        # first-touch, not on the group-leader fill. Runs AFTER _init so
+        # qm_scr is populated at grid step (0, 0).
+        @pl.when(qi == first_qi)
+        def _fill_comp():
+            k_bf = kcache[pl.ds(k_start, block_k), :]
+            c_row = jax.lax.dot_general(
+                qm_scr[0:1, :].astype(jnp.bfloat16), k_bf,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            cc[:, pl.ds(k_start, block_k)] = jnp.broadcast_to(
+                c_row * scale, (8, block_k)
+            )
 
     def _do_update(apply_mask: bool):
         k_bf = kcache[pl.ds(k_start, block_k), :]
@@ -367,10 +424,10 @@ def _fused_qattn_kernel(
         l = l_scr[:, 0:1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         out = acc_scr[...] / l_safe
-        if vm_ref is not None:
+        if vm_scr is not None:
             # V-mean restore (softmax rows sum to 1) — except fully-masked
             # rows, which must keep the kernel's exact zero.
-            out = jnp.where(l == 0.0, 0.0, out + vm_ref[0, 0])
+            out = jnp.where(l == 0.0, 0.0, out + vm_scr[0:1, :])
         o_ref[0, 0] = out.astype(out_dtype)
         # pv_int8 tracks l in p^ = A*p units; ln A comes back off the LSE.
         l_off = _LN_P_AMP if pv_int8 else 0.0
@@ -393,7 +450,7 @@ def fused_quantize_attend(
     smooth_q: Optional[bool] = None,
     hadamard: bool = False,
     pv_int8: bool = False,
-    mean_stride: int = 4,
+    emit_residuals: bool = True,
     block_sizes: BlockSizes = BlockSizes(),
     out_dtype=jnp.float32,
     interpret: bool = False,
@@ -404,7 +461,8 @@ def fused_quantize_attend(
     LSE, the emitted quantized residuals (QuantizedTensor, ROW/SYMMETRIC),
     and the smoothing means actually subtracted (None when smooth=False).
 
-    Means are estimated from a stride-`mean_stride` row subsample: the
+    Means are estimated IN-KERNEL from tile 0 of each (batch, head) — no
+    auxiliary reduction passes or mean input streams exist at all. The
     smoothing compensation is exact for ANY subtracted vector (see
     _quantize_operands), so a cheap estimate only changes how much dynamic
     range the smoothing removes, never correctness.
@@ -449,28 +507,6 @@ def fused_quantize_attend(
     num_q_blocks = padded_sq // block_q
     num_k_blocks = padded_sk // block_k
 
-    qm = km = vm = None
-    if smooth:
-        # Contiguous-prefix mean estimate: strided row subsampling still
-        # touches every (8,128) HBM tile AND defeats XLA's fast reduce
-        # (~0.2 ms measured at S=4K); a prefix slice streams. The smoothing
-        # compensation is exact for ANY subtracted vector, so estimator
-        # quality only affects how much range the smoothing removes.
-        n = min(seq_k, max(1024, 8 * mean_stride))
-        f32 = jnp.float32
-        if smooth_q:
-            qm = jnp.mean(
-                q[:, :, : min(seq_q, n)].astype(f32), axis=2, keepdims=True
-            )
-        km = jnp.mean(k[:, :, :n].astype(f32), axis=2, keepdims=True)
-        vm = jnp.mean(v[:, :, :n].astype(f32), axis=2, keepdims=True)
-        if hadamard:
-            from umfa_tpu.ops.hadamard import hadamard_rotate
-
-            if qm is not None:
-                qm = hadamard_rotate(qm)
-            km = hadamard_rotate(km)
-
     rb = _right_bound(causal, window)
 
     def _last_filled(qi, ki):
@@ -502,21 +538,6 @@ def fused_quantize_attend(
         pl.BlockSpec((1, 1, block_k, head_dim), kv_idx),
     ]
     args = [q_pad, k_pad, v_pad]
-    if smooth_q:
-        in_specs.append(
-            pl.BlockSpec((1, 1, 1, head_dim), lambda b, h, i, j: (b, h, 0, 0))
-        )
-        args.append(qm)
-    if smooth:
-        in_specs += [
-            pl.BlockSpec(
-                (1, 1, 1, head_dim), lambda b, h, i, j: (b, h // group, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, 1, head_dim), lambda b, h, i, j: (b, h // group, 0, 0)
-            ),
-        ]
-        args += [km, vm]
     if hadamard:
         from umfa_tpu.ops.quant_fused import hadamard_matrix
 
@@ -549,31 +570,69 @@ def fused_quantize_attend(
     out_specs = [
         pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
         pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_k, head_dim), kv_res_idx),
-        pl.BlockSpec((1, 1, block_k, 1), kv_res_idx),
-        pl.BlockSpec((1, 1, block_k, head_dim), kv_res_idx),
-        pl.BlockSpec((1, 1, block_k, 1), kv_res_idx),
     ]
     out_shape = [
         jax.ShapeDtypeStruct(
             (batch, num_heads, padded_sq, head_dim), jnp.dtype(out_dtype)
         ),
         jax.ShapeDtypeStruct((batch, num_heads, padded_sq, 1), jnp.float32),
-        jax.ShapeDtypeStruct(
-            (batch, num_heads, padded_sq, head_dim), jnp.int8
-        ),
-        jax.ShapeDtypeStruct((batch, num_heads, padded_sq, 1), jnp.float32),
-        jax.ShapeDtypeStruct(
-            (batch, num_kv_heads, padded_sk, head_dim), jnp.int8
-        ),
-        jax.ShapeDtypeStruct((batch, num_kv_heads, padded_sk, 1), jnp.float32),
-        jax.ShapeDtypeStruct(
-            (batch, num_kv_heads, padded_sk, head_dim), jnp.int8
-        ),
-        jax.ShapeDtypeStruct((batch, num_kv_heads, padded_sk, 1), jnp.float32),
     ]
+    if emit_residuals:
+        out_specs += [
+            pl.BlockSpec(
+                (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)
+            ),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, head_dim), kv_res_idx),
+            pl.BlockSpec((1, 1, block_k, 1), kv_res_idx),
+            pl.BlockSpec((1, 1, block_k, head_dim), kv_res_idx),
+            pl.BlockSpec((1, 1, block_k, 1), kv_res_idx),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct(
+                (batch, num_heads, padded_sq, head_dim), jnp.int8
+            ),
+            jax.ShapeDtypeStruct(
+                (batch, num_heads, padded_sq, 1), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (batch, num_kv_heads, padded_sk, head_dim), jnp.int8
+            ),
+            jax.ShapeDtypeStruct(
+                (batch, num_kv_heads, padded_sk, 1), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (batch, num_kv_heads, padded_sk, head_dim), jnp.int8
+            ),
+            jax.ShapeDtypeStruct(
+                (batch, num_kv_heads, padded_sk, 1), jnp.float32
+            ),
+        ]
+        if smooth_q:
+            # In-kernel qm estimate, emitted once per (b, h) for the
+            # backward's dequantization contract.
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 1, head_dim), lambda b, h, i, j: (b, h, 0, 0)
+                )
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct(
+                    (batch, num_heads, 1, head_dim), jnp.float32
+                )
+            )
+        if smooth:
+            out_specs.append(
+                pl.BlockSpec(
+                    (1, 1, 1, head_dim),
+                    lambda b, h, i, j: (b, h // group, 0, 0),
+                )
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct(
+                    (batch, num_kv_heads, 1, head_dim), jnp.float32
+                )
+            )
     scratch_shapes = [
         pltpu.VMEM((block_q, _LANES), jnp.float32),   # m
         pltpu.VMEM((block_q, _LANES), jnp.float32),   # l
@@ -595,6 +654,13 @@ def fused_quantize_attend(
     if pv_int8:
         # per-tile V scale row cache
         scratch_shapes.append(pltpu.VMEM((8, padded_sk), jnp.float32))
+    if smooth_q:
+        scratch_shapes.append(pltpu.VMEM((8, head_dim), jnp.float32))  # qm
+    if smooth:
+        scratch_shapes += [
+            pltpu.VMEM((8, head_dim), jnp.float32),   # km
+            pltpu.VMEM((8, head_dim), jnp.float32),   # vm
+        ]
 
     kernel = functools.partial(
         _fused_qattn_kernel,
@@ -605,6 +671,7 @@ def fused_quantize_attend(
         head_dim=head_dim, group=group,
         smooth=smooth, smooth_q=smooth_q, hadamard=hadamard,
         has_bias=has_bias, pv_int8=pv_int8, ones_col=ones_col,
+        emit_residuals=emit_residuals,
         out_dtype=jnp.dtype(out_dtype),
     )
     outs = pl.pallas_call(
@@ -621,8 +688,14 @@ def fused_quantize_attend(
             transcendentals=batch * num_heads * seq_q * seq_k,
         ),
         compiler_params=pltpu.CompilerParams(
+            # qi/ki must stay "arbitrary" (the cache-fill schedule depends
+            # on iteration order within a head). Heads are self-contained
+            # when group == 1 (each fills its own cache); under GQA the
+            # group shares the leader's fill, so h goes "arbitrary" too.
             dimension_semantics=(
-                "parallel", "arbitrary", "arbitrary", "arbitrary"
+                "parallel",
+                "parallel" if group == 1 else "arbitrary",
+                "arbitrary", "arbitrary",
             ),
             # Persistent K/V VMEM caches + pipeline buffers overflow the
             # default 16 MiB scoped-vmem budget by ~36 KiB at S=4K; the
@@ -631,11 +704,23 @@ def fused_quantize_attend(
         ),
         interpret=interpret,
     )(*args)
-    out, lse, q_i8, q_s, k_i8, k_s, v_i8, v_s = outs
+    outs = list(outs)
+    out, lse = outs[:2]
 
     out = out[:, :, :seq_q]
     if fp16_out:
         out = out.astype(jnp.float16)
+    lse = lse[:, :, :seq_q, 0]
+
+    if not emit_residuals:
+        return out, lse, None, None, None, None, None
+
+    q_i8, q_s, k_i8, k_s, v_i8, v_s = outs[2:8]
+    qm = vm = None
+    if smooth_q:
+        qm = outs[8]
+    if smooth:
+        vm = outs[9 if smooth_q else 8]
 
     def qt(vals, scales, shape, dtype):
         return QuantizedTensor(
@@ -654,7 +739,7 @@ def fused_quantize_attend(
     qt_q = qt(q_i8, q_s, q.shape, q.dtype)
     qt_k = qt(k_i8, k_s, k.shape, k.dtype)
     qt_v = qt(v_i8, v_s, v.shape, v.dtype)
-    return out, lse[:, :, :seq_q, 0], qt_q, qt_k, qt_v, qm, vm
+    return out, lse, qt_q, qt_k, qt_v, qm, vm
 
 
 def fused_path_supported(
