@@ -47,3 +47,50 @@ def test_torch_sdpa_bool_mask(rng):
         q, k, v, attn_mask=mask
     )
     np.testing.assert_allclose(out.numpy(), want.numpy(), atol=1e-4, rtol=1e-4)
+
+
+def test_install_torch_sdpa_override():
+    from umfa_tpu.utils.interop import install_torch_sdpa
+
+    F = torch.nn.functional
+    native = F.scaled_dot_product_attention
+    q = torch.randn(1, 2, 64, 64)
+    k = torch.randn(1, 2, 64, 64)
+    v = torch.randn(1, 2, 64, 64)
+    want = F.scaled_dot_product_attention(q, k, v, is_causal=True)
+    uninstall = install_torch_sdpa()
+    try:
+        assert getattr(F.scaled_dot_product_attention, "_umfa_override", False)
+        # Reentrant: second install is a no-op.
+        assert install_torch_sdpa() is uninstall
+        out = F.scaled_dot_product_attention(q, k, v, is_causal=True)
+        np.testing.assert_allclose(
+            out.numpy(), want.numpy(), atol=1e-4, rtol=1e-4
+        )
+        # Dropout falls back to the native path (no error, stochastic out).
+        F.scaled_dot_product_attention(q, k, v, dropout_p=0.5)
+    finally:
+        uninstall()
+    assert F.scaled_dot_product_attention is native
+
+
+def test_install_torch_sdpa_gqa():
+    from umfa_tpu.utils.interop import install_torch_sdpa
+
+    F = torch.nn.functional
+    q = torch.randn(1, 4, 64, 64)
+    k = torch.randn(1, 2, 64, 64)
+    v = torch.randn(1, 2, 64, 64)
+    want = F.scaled_dot_product_attention(q, k, v, enable_gqa=True)
+    uninstall = install_torch_sdpa()
+    try:
+        out = F.scaled_dot_product_attention(q, k, v, enable_gqa=True)
+        np.testing.assert_allclose(
+            out.numpy(), want.numpy(), atol=1e-4, rtol=1e-4
+        )
+        # Head mismatch without enable_gqa must still raise (native
+        # semantics preserved).
+        with pytest.raises(RuntimeError):
+            F.scaled_dot_product_attention(q, k, v)
+    finally:
+        uninstall()

@@ -43,7 +43,13 @@ def _mxu(dtype):
 
 
 def _recompute_p(q, k, lse, bias_blk, *, scale, masked_args):
-    """Recompute P = exp(S*scale + bias - lse) for one (q-block, kv-block)."""
+    """Recompute P = exp(S*scale + bias - lse) for one (q-block, kv-block).
+
+    The softmax scale is folded into Q before the dot: a multiply over the
+    (block_q, head_dim) operand instead of a full VPU pass over the
+    (block_q, block_k) score tile (Mosaic does not fuse `s * scale` into the
+    exp — measured ~0.5 ms/pass at FLUX geometry on the forward)."""
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     s = jax.lax.dot_general(
         q,
         k,
@@ -51,7 +57,6 @@ def _recompute_p(q, k, lse, bias_blk, *, scale, masked_args):
         preferred_element_type=jnp.float32,
         precision=_mxu(q.dtype),
     )
-    s = s * scale
     if bias_blk is not None:
         s = s + bias_blk.astype(jnp.float32)
     if masked_args is not None:
@@ -273,12 +278,15 @@ def _dkv_kernel(
         bias_blk = bias_ref[0, 0] if bias_ref is not None else None
         p = _recompute_p(q, k, lse, bias_blk, scale=scale, masked_args=masked_args)
 
-        # dV += P^T @ dO
+        # dV += P^T @ dO. Operands cast to the INPUT dtype: `do` was widened
+        # to f32 above, and an f32 operand dtype would silently select the
+        # 6-pass HIGHEST emulation on bf16-input calls — 6× the MXU time for
+        # precision below the bf16-rounded P it would consume anyway.
         dv_scr[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do,
+            p.astype(v.dtype), do.astype(v.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_mxu(do.dtype),
+            precision=_mxu(v.dtype),
         )
         # dS = P ∘ (dO @ V^T - delta)
         dp = jax.lax.dot_general(
@@ -553,7 +561,15 @@ def flash_attention_backward(
 
     from umfa_tpu.ops.flash_fwd import _choose_block
 
-    block_q = _choose_block(block_sizes.block_q_dq, seq_q, head_dim)
+    # Compiled BlockMasks fix the tiling (see flash_fwd); otherwise use the
+    # tuned q-tile request (r2 v5e sweep: (2048, 1024) beat the old
+    # (512, 1024) by 14% on the S=4096 training step).
+    block_q = _choose_block(
+        block_sizes.block_q_dq
+        if block_map is not None
+        else block_sizes.bwd_q_request("block_q_dq"),
+        seq_q, head_dim,
+    )
     block_k = _choose_block(block_sizes.block_k_dq, seq_k, head_dim)
 
     # D = rowsum(dO ∘ O) — FP32 per-row statistic (reference's D scratch,
@@ -742,6 +758,7 @@ def flash_attention_backward(
     dq_scratch = [pltpu.VMEM((block_q, head_dim), jnp.float32)]
     dq_cparams = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=64 * 1024 * 1024,
     )
     if has_fetch:
         dq = pl.pallas_call(
@@ -866,6 +883,7 @@ def flash_attention_backward(
     ]
     dkv_cparams = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=64 * 1024 * 1024,
     )
     dkv_in_specs = group_specs() if use_group_reduce else specs("kq")
     if has_fetch:

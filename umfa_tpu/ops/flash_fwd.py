@@ -57,7 +57,13 @@ class BlockSizes:
     """Static tile sizes (role parity: the reference's BlockSizeConfig,
     metal_sdpa_backend.h:63-253 — but tuned for TPU: v5e sweep showed the
     forward kernel goes 7.5 → 68 TFLOP/s moving from 128×128 to large KV
-    tiles, which amortize grid-step overhead and keep the MXU fed)."""
+    tiles, which amortize grid-step overhead and keep the MXU fed).
+
+    A default-constructed instance means "auto": the host functions pick
+    mask-aware tuned requests (r2 v5e sweep — dense fwd q-tile 2048,
+    causal/window 1024; backward q-tiles 2048) before the padding/VMEM
+    clamps of `_choose_block`. Any explicitly constructed non-default
+    instance is honored as-is."""
 
     block_q: int = 512
     block_k: int = 2048
@@ -65,6 +71,16 @@ class BlockSizes:
     block_k_dq: int = 1024
     block_q_dkv: int = 512
     block_k_dkv: int = 1024
+
+    def fwd_q_request(self, masked: bool) -> int:
+        if self != BlockSizes():
+            return self.block_q
+        return 1024 if masked else 2048
+
+    def bwd_q_request(self, attr: str) -> int:
+        if self != BlockSizes():
+            return getattr(self, attr)
+        return 2048
 
 
 def _round_up(x: int, m: int) -> int:
@@ -92,6 +108,16 @@ def _choose_block(requested: int, seq: int, head_dim: int, vmem_cap_elems=2**18)
         if b < cap // 2:
             break
     return best
+
+
+def _right_bound(causal: bool, window) -> Optional[int]:
+    """How far right of the diagonal a row can see (None = unbounded)."""
+    r = None
+    if causal:
+        r = 0
+    if window is not None and window[1] >= 0:
+        r = window[1] if r is None else min(r, window[1])
+    return r
 
 
 def _block_visible(
@@ -162,6 +188,9 @@ def _fwd_kernel(
     has_bias: bool,
     has_map: bool,
     has_fetch: bool,
+    kv_cache: bool,
+    group: int,
+    vc_width: int,
     out_dtype,
 ):
     refs = list(refs)
@@ -178,7 +207,11 @@ def _fwd_kernel(
     if has_map:
         map_ref = refs[idx]
         idx += 1
-    o_ref, lse_ref, m_scr, l_scr, acc_scr = refs[idx:]
+    o_ref, lse_ref, m_scr, l_scr, acc_scr, q_scr = refs[idx:idx + 6]
+    idx += 6
+    kcache = vcache = None
+    if kv_cache:
+        kcache, vcache = refs[idx:idx + 2]
 
     qi = pl.program_id(2)
     ki = pl.program_id(3)  # compacted step index when has_fetch
@@ -205,6 +238,13 @@ def _fwd_kernel(
         m_scr[...] = jnp.full_like(m_scr, DEFAULT_MASK_VALUE)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+        # Softmax scale folded into Q once per q-block: the per-step
+        # `s * scale` is a full VPU pass over the (block_q, block_k) score
+        # tile that Mosaic does not fuse into the exp — measured ~0.5 ms of
+        # the flux-geometry forward (one tile pass ≈ 0.8 µs × 648 steps).
+        q_scr[...] = (
+            q_ref[0, 0].astype(jnp.float32) * scale
+        ).astype(q_scr.dtype)
 
     visible, partial = _block_visible(
         q_start,
@@ -230,10 +270,45 @@ def _fwd_kernel(
         ]
         visible = jnp.logical_and(visible, typ > 0)
 
+    if kv_cache:
+        # Persistent K/V VMEM cache: each tile is DMA'd from HBM exactly
+        # once per (batch, kv-head) — at the FIRST q-block that can see it —
+        # and every later q-block reads VMEM. The HBM index maps (host-side
+        # `_last_filled`) alias all other grid steps to the tile the buffer
+        # already holds, so their DMAs are elided; non-leader GQA heads
+        # freeze on the last tile and re-read nothing. This deletes the
+        # (num_q_blocks − 1)× K/V HBM re-read of the streaming layout
+        # (~30% of runtime at D=128 FLUX geometry; measured r2).
+        head_dim = q_ref.shape[-1]
+        rb = _right_bound(causal, window)
+        if rb is None:
+            first_qi = 0
+        else:
+            first_qi = jnp.maximum(ki * block_k - rb, 0) // block_q
+        h = pl.program_id(1)
+        fill = jnp.logical_and(qi == first_qi, h % group == 0)
+
+        @pl.when(fill)
+        def _fill_kv_cache():
+            kcache[pl.ds(k_start, block_k), :] = k_ref[0, 0]
+            vt = v_ref[0, 0]
+            if vc_width > head_dim:
+                # Ones column (row-sum rides the P·V matmul) + zero padding
+                # to the lane-aligned cache width, built once at fill time
+                # instead of per inner step.
+                cols = [vt, jnp.ones((block_k, 1), vt.dtype)]
+                pad_w = vc_width - head_dim - 1
+                if pad_w:
+                    cols.append(jnp.zeros((block_k, pad_w), vt.dtype))
+                vt = jnp.concatenate(cols, axis=1)
+            vcache[pl.ds(k_start, block_k), :] = vt
+
     def _do_update(apply_mask: bool):
-        q = q_ref[0, 0]  # (block_q, d)
-        k = k_ref[0, 0]  # (block_k, d)
-        v = v_ref[0, 0]  # (block_k, d)
+        q = q_scr[...]  # (block_q, d), softmax scale pre-folded
+        if kv_cache:
+            k = kcache[pl.ds(k_start, block_k), :]
+        else:
+            k = k_ref[0, 0]  # (block_k, d)
 
         # QK^T on the MXU, FP32 accumulation. FP32 inputs force HIGHEST
         # precision (6-pass bf16 emulation) to hold the reference's 1e-5
@@ -250,7 +325,6 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
             precision=mxu,
         )
-        s = s * scale
         if bias_ref is not None:
             s = s + bias_ref[0, 0].astype(jnp.float32)
 
@@ -277,18 +351,25 @@ def _fwd_kernel(
             # Rows fully masked in this block would otherwise get p = exp(0).
             p = jnp.where(mask, p, 0.0)
 
-        d = v.shape[1]
-        ones_col = d < _LANES
-        if ones_col:
-            # Row-sum rides the MXU: a ones column appended to V makes the
-            # P·V matmul emit sum_j(p) in column d — at d < 128 those output
-            # lanes are padding anyway, and it deletes the per-step VPU
-            # row-sum reduce (1 op per score element). Summing the SAME
-            # (possibly bf16-rounded) p the product uses keeps out exactly
-            # normalized in the weights actually applied.
-            v = jnp.concatenate(
-                [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1
-            )
+        d = q.shape[1]
+        if kv_cache:
+            # Cache rows already carry the ones column + lane padding.
+            v = vcache[pl.ds(k_start, block_k), :]
+            ones_col = vc_width > d
+        else:
+            v = v_ref[0, 0]
+            ones_col = d < _LANES
+            if ones_col:
+                # Row-sum rides the MXU: a ones column appended to V makes
+                # the P·V matmul emit sum_j(p) in column d — at d < 128
+                # those output lanes are padding anyway, and it deletes the
+                # per-step VPU row-sum reduce (1 op per score element).
+                # Summing the SAME (possibly bf16-rounded) p the product
+                # uses keeps out exactly normalized in the weights actually
+                # applied.
+                v = jnp.concatenate(
+                    [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1
+                )
         pb = p.astype(v.dtype)
         pv = jax.lax.dot_general(
             pb,
@@ -418,7 +499,14 @@ def flash_attention_forward(
     if out_dtype is None:
         out_dtype = q.dtype
 
-    block_q = _choose_block(block_sizes.block_q, seq_q, head_dim)
+    # Compiled BlockMasks fix the tiling (make_block_mask uses the raw
+    # attrs); the tuned q-tile requests apply to mask-free structure only.
+    block_q = _choose_block(
+        block_sizes.block_q
+        if block_map is not None
+        else block_sizes.fwd_q_request(causal or window is not None),
+        seq_q, head_dim,
+    )
     block_k = _choose_block(block_sizes.block_k, seq_k, head_dim)
     if (causal or window is not None) and block_map is None:
         # Finer KV tiles let more fully-masked blocks skip (v5e: causal
@@ -439,6 +527,31 @@ def flash_attention_forward(
     # visible tile count (a 1/8-dense mask iterates 8× fewer steps).
     num_steps = fetch_ids.shape[3] if has_fetch else num_k_blocks
     grid = (batch, num_heads, num_q_blocks, num_steps)
+
+    # Persistent K/V VMEM cache (see _fwd_kernel): worthwhile whenever more
+    # than one q-block would re-read K/V from HBM and the cache fits the
+    # VMEM budget. Block-sparse walks keep the streaming layout (their
+    # compacted grid already touches each tile at most once per q-block),
+    # and causal/window fill schedules assume self-attention geometry.
+    rb = _right_bound(causal, window)
+    isz = jnp.dtype(k.dtype).itemsize
+    ones_col = head_dim < _LANES
+    vc_width = _round_up(head_dim + 1, _LANES) if ones_col else head_dim
+    cache_bytes = padded_sk * (head_dim + vc_width) * isz
+    use_kv_cache = (
+        not has_fetch
+        and block_map is None
+        and num_q_blocks > 1
+        and cache_bytes <= 12 * 2**20
+        and not (rb is not None and seq_q != seq_k)
+        and _os.environ.get("UMFA_DISABLE_KV_CACHE", "0") != "1"
+    )
+    if _os.environ.get("UMFA_DEBUG", "0") == "1":
+        print(
+            f"[umfa] fwd S={seq_q}/{seq_k} D={head_dim} blocks="
+            f"({block_q},{block_k}) kv_cache={use_kv_cache} "
+            f"cache_bytes={cache_bytes}"
+        )
 
     def _ki_eff(b, h, qi, ki, refs):
         """Effective KV tile for this grid step: decoded from the prefetched
@@ -475,12 +588,31 @@ def flash_attention_forward(
                 ki = jnp.minimum(ki, jnp.maximum(last_vis, 0))
         return ki
 
+    def _last_filled(qi, ki):
+        """Largest tile already cache-filled at step (qi, ki): the K/V HBM
+        index maps follow it so the fetch happens exactly on first touch and
+        every other step's DMA is elided (index unchanged)."""
+        if rb is None:
+            return jnp.where(qi > 0, num_k_blocks - 1, ki)
+        a = (qi * block_q - 1 + rb) // block_k
+        bmax = ((qi + 1) * block_q - 1 + rb) // block_k
+        t = jnp.maximum(a, jnp.minimum(ki, bmax))
+        return jnp.clip(t, 0, num_k_blocks - 1)
+
+    def _cached_kv_idx(b, h, qi, ki):
+        # Non-leader GQA heads never read the HBM ref (the cache carries the
+        # group): freeze their index on the last tile so no DMA refires.
+        t = jnp.where(h % group == 0, _last_filled(qi, ki), num_k_blocks - 1)
+        return (b, h // group, t, 0)
+
     q_spec = pl.BlockSpec(
         (1, 1, block_q, head_dim), lambda b, h, qi, ki, *refs: (b, h, qi, 0)
     )
     kv_spec = pl.BlockSpec(
         (1, 1, block_k, head_dim),
-        lambda b, h, qi, ki, *refs, group=group: (
+        (lambda b, h, qi, ki, *refs: _cached_kv_idx(b, h, qi, ki))
+        if use_kv_cache
+        else lambda b, h, qi, ki, *refs, group=group: (
             b, h // group, _ki_eff(b, h, qi, ki, refs), 0
         ),
     )
@@ -566,6 +698,9 @@ def flash_attention_forward(
         has_bias=has_bias,
         has_map=has_map,
         has_fetch=has_fetch,
+        kv_cache=use_kv_cache,
+        group=group,
+        vc_width=vc_width,
         out_dtype=out_dtype,
     )
 
@@ -573,7 +708,27 @@ def flash_attention_forward(
         pltpu.VMEM((block_q, _LANES), jnp.float32),  # m
         pltpu.VMEM((block_q, _LANES), jnp.float32),  # l
         pltpu.VMEM((block_q, head_dim), jnp.float32),  # acc
+        pltpu.VMEM((block_q, head_dim), q.dtype),  # scale-folded Q
     ]
+    if use_kv_cache:
+        scratch_shapes += [
+            pltpu.VMEM((padded_sk, head_dim), k.dtype),  # K cache
+            pltpu.VMEM((padded_sk, vc_width), v.dtype),  # V (+ones) cache
+        ]
+    if use_kv_cache:
+        # The cache-fill schedule depends on iteration order within a head:
+        # qi must walk sequentially ("arbitrary"). Heads are self-contained
+        # when group == 1; under GQA the group shares the leader's fill.
+        semantics = (
+            "parallel",
+            "parallel" if group == 1 else "arbitrary",
+            "arbitrary",
+            "arbitrary",
+        )
+    else:
+        # b/h/qi are independent; only the KV walk carries state — lets
+        # Mosaic software-pipeline DMA against compute.
+        semantics = ("parallel", "parallel", "parallel", "arbitrary")
     common = dict(
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -583,9 +738,11 @@ def flash_attention_forward(
             transcendentals=batch * num_heads * seq_q * seq_k,
         ),
         compiler_params=pltpu.CompilerParams(
-            # b/h/qi are independent; only the KV walk carries state —
-            # lets Mosaic software-pipeline DMA against compute.
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=semantics,
+            # Persistent K/V caches + pipeline buffers can exceed the
+            # default 16 MiB scoped-vmem budget; raise the cap (the gate on
+            # cache_bytes keeps actual usage well below this).
+            vmem_limit_bytes=64 * 1024 * 1024 if use_kv_cache else None,
         ),
         interpret=interpret,
         debug=debug,

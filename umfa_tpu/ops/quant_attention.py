@@ -337,7 +337,12 @@ def quantized_attention_forward(
 
     from umfa_tpu.ops.flash_fwd import _choose_block
 
-    block_q = _choose_block(block_sizes.block_q, seq_q, head_dim)
+    block_q = _choose_block(
+        block_sizes.block_q
+        if block_map is not None
+        else block_sizes.fwd_q_request(causal or window is not None),
+        seq_q, head_dim,
+    )
     block_k = _choose_block(block_sizes.block_k, seq_k, head_dim)
 
     q_vals = _pad_seq(qt_q.values, block_q, 2)
@@ -543,6 +548,9 @@ def quantized_attention_forward(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # Tuned 2048-row q-tiles + double-buffered operand/stat streams
+            # exceed the default 16 MiB scoped-vmem budget at some shapes.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )

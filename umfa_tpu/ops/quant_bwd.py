@@ -420,7 +420,14 @@ def quantized_attention_backward(
         scale = head_dim**-0.5
     interpret = interpret or jax.default_backend() == "cpu"
 
-    block_q = _choose_block(block_sizes.block_q_dq, seq_q, head_dim)
+    # Compiled BlockMasks fix the tiling (see flash_fwd); otherwise use the
+    # tuned backward q-tile request (see flash_bwd).
+    block_q = _choose_block(
+        block_sizes.block_q_dq
+        if block_map is not None
+        else block_sizes.bwd_q_request("block_q_dq"),
+        seq_q, head_dim,
+    )
     block_k = _choose_block(block_sizes.block_k_dq, seq_k, head_dim)
 
     # D = rowsum(dO . O) (+ LSE cotangent folded: see flash_bwd).
@@ -729,6 +736,7 @@ def quantized_attention_backward(
     dq_scratch = [pltpu.VMEM((block_q, head_dim), jnp.float32)]
     cparams = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=64 * 1024 * 1024,
     )
     if has_fetch:
         dq = pl.pallas_call(

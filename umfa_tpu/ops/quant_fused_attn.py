@@ -68,6 +68,7 @@ from umfa_tpu.ops.flash_fwd import (
     _choose_block,
     _intra_block_mask,
     _pad_seq,
+    _right_bound,
 )
 from umfa_tpu.ops.quant import QuantizedTensor
 
@@ -81,16 +82,6 @@ _QMAX = 127.0
 # numerator and denominator keeps rows exactly normalized).
 _P_AMP = 127.49
 _LN_P_AMP = math.log(_P_AMP)
-
-
-def _right_bound(causal: bool, window) -> Optional[int]:
-    """How far right of the diagonal a row can see (None = unbounded)."""
-    r = None
-    if causal:
-        r = 0
-    if window is not None and window[1] >= 0:
-        r = window[1] if r is None else min(r, window[1])
-    return r
 
 
 def _rotate(x, hmat):
@@ -496,7 +487,10 @@ def fused_quantize_attend(
     if fp16_out:
         out_dtype = jnp.float32
 
-    block_q = _choose_block(block_sizes.block_q, seq_q, head_dim)
+    block_q = _choose_block(
+        block_sizes.fwd_q_request(causal or window is not None),
+        seq_q, head_dim,
+    )
     block_k = _choose_block(block_sizes.block_k, seq_k, head_dim)
 
     q_pad = _pad_seq(q, block_q, 2)

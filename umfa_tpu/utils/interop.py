@@ -45,6 +45,56 @@ def to_torch(x: jax.Array):
         return torch.from_numpy(np.asarray(jax.device_get(x)))
 
 
+def install_torch_sdpa():
+    """Install a process-wide override of
+    `torch.nn.functional.scaled_dot_product_attention` that routes through
+    the fused TPU kernels — the role of the reference's ATen-dispatcher
+    override that importing its extension installs for MPS tensors
+    (examples/zimage/zimage_turbo.py:4-7, metal_sdpa_backend.cpp:3426-3432).
+    torch here is CPU-only, so models run through torch end-to-end get
+    their attention offloaded to the TPU; everything else stays in torch.
+
+    Returns an `uninstall()` callable restoring the original. Reentrant:
+    a second install is a no-op returning the same uninstaller.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    if getattr(F.scaled_dot_product_attention, "_umfa_override", False):
+        return F.scaled_dot_product_attention._umfa_uninstall
+
+    native = F.scaled_dot_product_attention
+
+    def sdpa(query, key, value, attn_mask=None, dropout_p=0.0,
+             is_causal=False, scale=None, enable_gqa=False):
+        # Train-time dropout, <4-D inputs, and exotic dtypes keep torch's
+        # native path.
+        if (dropout_p != 0.0 or query.dim() != 4 or query.dtype not in
+                (torch.float16, torch.bfloat16, torch.float32)):
+            return native(query, key, value, attn_mask=attn_mask,
+                          dropout_p=dropout_p, is_causal=is_causal,
+                          scale=scale, enable_gqa=enable_gqa)
+        if not enable_gqa and key.shape[1] != query.shape[1]:
+            # torch semantics: mismatched heads without enable_gqa is an
+            # error — let native raise it.
+            return native(query, key, value, attn_mask=attn_mask,
+                          dropout_p=dropout_p, is_causal=is_causal,
+                          scale=scale, enable_gqa=enable_gqa)
+        return torch_sdpa(query, key, value, attn_mask=attn_mask,
+                          is_causal=is_causal, scale=scale)
+
+    sdpa._umfa_override = True
+
+    def uninstall():
+        F.scaled_dot_product_attention = native
+        torch.nn.functional.scaled_dot_product_attention = native
+
+    sdpa._umfa_uninstall = uninstall
+    F.scaled_dot_product_attention = sdpa
+    torch.nn.functional.scaled_dot_product_attention = sdpa
+    return uninstall
+
+
 def torch_sdpa(q, k, v, attn_mask=None, is_causal=False, scale=None, **kwargs):
     """torch-tensor-shaped SDPA entry: accepts torch tensors, runs the fused
     TPU kernels, returns a torch tensor. The role of the reference's
