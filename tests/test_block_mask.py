@@ -201,3 +201,45 @@ def test_sparse_gqa_quantized_grads(rng):
     for g, w in zip(got, want):
         assert cosine(g, w) > BWD_COSINE_MIN
         assert rel_err(g, w) < BWD_REL_ERR_MAX
+
+
+def test_auto_tile_selection():
+    """Per-mask tile auto-tuning (default BlockSizes): aligned document
+    masks compile to matching small tiles (all SKIP/FULL, no bias); dense
+    masks keep the big default tiles; explicit block_sizes are honored."""
+    from umfa_tpu.ops.flash_fwd import BlockSizes
+
+    doc = make_block_mask(
+        lambda q, k: (q // 512) == (k // 512), 2048, 2048
+    )
+    assert (doc.block_q, doc.block_k) == (512, 512)
+    assert doc.bias is None  # tile-aligned: no PARTIAL tiles anywhere
+
+    dense = make_block_mask(lambda q, k: q >= 0, 4096, 4096)
+    assert (dense.block_q, dense.block_k) == (512, 2048)
+
+    pinned = make_block_mask(
+        lambda q, k: (q // 512) == (k // 512), 2048, 2048,
+        block_sizes=BlockSizes(block_q=512, block_k=1024),
+    )
+    assert (pinned.block_q, pinned.block_k) == (512, 1024)
+
+
+def test_auto_tile_end_to_end():
+    """Auto-tiled BlockMask through the public API matches the reference."""
+    import numpy as np
+    import umfa_tpu
+    from umfa_tpu.ops.attention import reference_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(0, 1, (1, 2, 1024, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (1, 2, 1024, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (1, 2, 1024, 64)), jnp.float32)
+    mask_mod = lambda qi, ki: (qi // 256) == (ki // 256)
+    out = umfa_tpu.attention(q, k, v, mask_mod)
+    q_ids = jnp.arange(1024)[:, None]
+    k_ids = jnp.arange(1024)[None, :]
+    bias = jnp.where(mask_mod(q_ids, k_ids), 0.0, -1e30)[None, None]
+    want = reference_attention(q, k, v, bias)
+    rel = float(jnp.linalg.norm(out - want) / jnp.linalg.norm(want))
+    assert rel < 1e-5, rel

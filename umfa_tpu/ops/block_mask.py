@@ -70,6 +70,65 @@ class BlockMask:
         return jnp.mean((self.block_map == SKIP).astype(jnp.float32))
 
 
+# Per-mask tile auto-tuning: candidate tilings scored with a cost model
+# fitted to v5e step timings (r2): a grid step over a (bq, bk) tile costs
+# ~C0 fixed (grid/DMA/stat overhead) + C1 per score element; PARTIAL tiles
+# pay extra VPU mask passes (~C1_PARTIAL per element). Small tiles align
+# better with mask structure (fewer PARTIAL, more SKIP) but amortize C0
+# worse — exactly the "per-mask tile-size tuning" lever from r1.
+_AUTO_TILE_CANDIDATES = (
+    (512, 2048), (512, 1024), (512, 512), (256, 512), (256, 256),
+)
+_C0, _C1, _C1_PARTIAL = 0.7e-6, 3.0e-12, 1.0e-12
+_C0_PAD = 0.2e-6
+
+
+def _tile_map_np(mask_np, seq_q, seq_k, bq, bk):
+    """Tile classification (numpy, concrete masks): (Bm, Hm, nq, nk) int."""
+    import numpy as np
+
+    bm, hm = mask_np.shape[:2]
+    pq, pk = _round_up(seq_q, bq), _round_up(seq_k, bk)
+    padded = np.zeros((bm, hm, pq, pk), bool)
+    padded[:, :, :seq_q, :seq_k] = mask_np
+    counts = padded.reshape(bm, hm, pq // bq, bq, pk // bk, bk).sum(
+        axis=(3, 5)
+    )
+    q_in = np.minimum(np.arange(1, pq // bq + 1) * bq, seq_q) - np.minimum(
+        np.arange(pq // bq) * bq, seq_q
+    )
+    k_in = np.minimum(np.arange(1, pk // bk + 1) * bk, seq_k) - np.minimum(
+        np.arange(pk // bk) * bk, seq_k
+    )
+    in_bounds = q_in[:, None] * k_in[None, :]
+    return np.where(
+        counts >= in_bounds[None, None], FULL,
+        np.where(counts > 0, PARTIAL, SKIP),
+    )
+
+
+def _predict_cost(tile_map, bq, bk) -> float:
+    """Predicted kernel seconds per (batch, head) for a candidate tiling.
+
+    Visible tiles pay full per-step + per-element cost; padded compaction
+    steps (rows shorter than the global max width) alias the previous tile —
+    DMA elided, compute skipped — and cost only a small step overhead."""
+    vis = tile_map != SKIP
+    slices = tile_map.shape[0] * tile_map.shape[1]
+    row_counts = vis.sum(axis=-1)
+    # The compacted inner grid dim is the GLOBAL max visible-per-row count.
+    width = int(row_counts.max()) if vis.any() else 0
+    nq = tile_map.shape[2]
+    n_vis = float(vis.sum()) / slices
+    padded_steps = nq * width - n_vis
+    n_partial = float((tile_map == PARTIAL).sum()) / slices
+    return (
+        n_vis * (_C0 + _C1 * bq * bk)
+        + padded_steps * _C0_PAD
+        + n_partial * _C1_PARTIAL * bq * bk
+    )
+
+
 def make_block_mask(
     mask: Union[Callable, jax.Array],
     seq_q: int,
@@ -83,6 +142,13 @@ def make_block_mask(
     mask: either a mask_mod callable `(q_idx, k_idx) -> bool` (True=attend;
     evaluated on broadcast index grids, FlexAttention-style) or a boolean
     array broadcastable to (B, H, Sq, Sk).
+
+    With default `block_sizes`, the tiling is auto-tuned per mask: candidate
+    tilings are scored by a fitted cost model (fixed per-step overhead +
+    per-element compute + partial-tile mask surcharge) on the mask's actual
+    tile structure, so e.g. a 512-aligned document mask compiles to 512×512
+    tiles (everything SKIP/FULL) instead of paying 2048-wide PARTIAL tiles.
+    Explicit block_sizes pin the tiling (required under jit tracing).
     """
     block_q = _choose_block(block_sizes.block_q, seq_q, head_dim)
     block_k = _choose_block(block_sizes.block_k, seq_k, head_dim)
@@ -101,6 +167,24 @@ def make_block_mask(
             bool_mask = bool_mask[None]
     bm, hm, sq, sk = bool_mask.shape
     assert sq == seq_q and sk == seq_k, (bool_mask.shape, seq_q, seq_k)
+
+    if block_sizes == BlockSizes() and not isinstance(
+        bool_mask, jax.core.Tracer
+    ):
+        import numpy as np
+
+        mask_np = np.asarray(bool_mask)
+        best = (float("inf"), block_q, block_k)
+        for bq, bk in _AUTO_TILE_CANDIDATES:
+            bq = min(bq, _round_up(seq_q, 128))
+            bk = min(bk, _round_up(seq_k, 128))
+            cost = _predict_cost(
+                _tile_map_np(mask_np, seq_q, seq_k, bq, bk), bq, bk
+            )
+            # Strict < keeps the earliest (largest-tile) candidate on ties.
+            if cost < best[0] * 0.999:
+                best = (cost, bq, bk)
+        block_q, block_k = best[1], best[2]
 
     pq = _round_up(seq_q, block_q)
     pk = _round_up(seq_k, block_k)

@@ -542,7 +542,7 @@ def flash_attention_forward(
         not has_fetch
         and block_map is None
         and num_q_blocks > 1
-        and cache_bytes <= 12 * 2**20
+        and cache_bytes <= 16 * 2**20
         and not (rb is not None and seq_q != seq_k)
         and _os.environ.get("UMFA_DISABLE_KV_CACHE", "0") != "1"
     )
