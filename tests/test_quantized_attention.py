@@ -399,10 +399,14 @@ def _native_vs_dequant_dense(rng, cfg, *, causal=False, window=None,
         q_dq, k_dq, v_dq, out.astype(jnp.float32), lse, do, bias,
         causal=causal, window=window,
     )
+    # bf16 matmuls on dequantized-on-load operands in the native kernels vs
+    # fp32-HIGHEST in the dense path: agreement to bf16 grade. INT4's wider
+    # per-row scales make the deq-product rounding relatively larger.
+    tol = 2e-2 if Precision.INT4 in (
+        cfg.q_precision, cfg.k_precision, cfg.v_precision
+    ) else 5e-3
     for name, g, w in zip(("dq", "dk", "dv"), got, want):
-        # bf16 matmuls in the native kernels vs fp32-HIGHEST in the dense
-        # path: agreement to bf16 grade.
-        assert rel_err(g, w) < 5e-3, (name, rel_err(g, w))
+        assert rel_err(g, w) < tol, (name, rel_err(g, w))
 
 
 def test_native_backward_matches_dequant_dense(rng):

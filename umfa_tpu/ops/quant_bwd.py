@@ -9,12 +9,17 @@ kernels' matmuls into HIGHEST precision (6-pass bf16 emulation on the MXU).
 
 These kernels instead consume the stored int8/int4 residuals directly:
 
-  * S recompute runs as int8 x int8 -> int32 on the MXU (2x the bf16 rate),
-    with per-row scales applied after the matmul — identical formula to the
-    quantized forward, so P = exp(S - LSE) matches the forward bitwise-ish.
-  * dP / dQ / dK matmuls run in bf16 (native single-pass MXU) with the int8
-    operand cast on load and its per-row scale folded into the fp32 dS/dP
-    factor as a lane-broadcast — no dequantized copies ever hit HBM.
+  * Operands are DEQUANTIZED-ON-LOAD into bf16 registers (the reference's
+    own load_quantized_int8/4 trick, SURVEY §2.3): per-row scales land on
+    the (tile, D) operand tiles — int8 values are exact in bf16 — and every
+    matmul runs at the full single-pass bf16 MXU rate. An int8×int8 S
+    recompute is HALF the bf16 rate at head-dim contractions on v5e, and
+    its post-matmul scaling costs two full passes over the score tile
+    (measured r2; this was the r1 design).
+  * P = exp(S - LSE) uses the same deq-bf16 formula as the (symmetric)
+    quantized forward, so P matches the forward's softmax grade-for-grade.
+  * No dequantized copies ever hit HBM; outer-constant tiles (Q in the dQ
+    pass, K/V in the dK/dV pass) dequantize once into VMEM scratch.
   * dV = P^T dO needs no scales at all (STE: d out/d v = P exactly).
   * Mean-smoothing corrections (quant_attention._quantize_operands) stay
     exact: the Q-mean score row `corr` streams like the forward; the V-mean
@@ -57,17 +62,20 @@ from umfa_tpu.ops.quant import QuantizedTensor
 from umfa_tpu.ops.quant_attention import _unpack_int4_lanes
 
 
-def _recompute_p_int(
-    q_i8, k_i8, sq_eff, sk_raw, lse, corr_blk, bias_blk, *, masked_args
+def _recompute_p_deq(
+    q_bf, k_bf, lse, corr_blk, bias_blk, *, masked_args
 ):
-    """P = exp(S - lse) with S from the integer matmul — the exact formula
-    the quantized forward used (scales folded the same way)."""
-    s_i32 = jax.lax.dot_general(
-        q_i8, k_i8,
+    """P = exp(S - lse) with S from the bf16 matmul on dequantized-on-load
+    operands — the exact formula the (symmetric) quantized forward uses, so
+    P matches the forward's softmax in the same bf16-deq grade. int8×int8
+    is HALF the bf16 MXU rate at head-dim contractions on v5e, and the
+    per-row scales land on the (tile, D) operands instead of two full
+    passes over the (block_q, block_k) score tile."""
+    s = jax.lax.dot_general(
+        q_bf, k_bf,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        preferred_element_type=jnp.float32,
     )
-    s = (s_i32.astype(jnp.float32) * sq_eff) * sk_raw
     if corr_blk is not None:
         s = s + corr_blk
     if bias_blk is not None:
@@ -81,6 +89,13 @@ def _recompute_p_int(
     if keep is not None:
         p = jnp.where(keep, p, 0.0)
     return p
+
+
+def _deq_bf16(vals, scales, int4):
+    """Dequantize an int tile into bf16 registers: (tile, D/pack) → (tile, D)."""
+    if int4:
+        vals = _unpack_int4_lanes(vals)
+    return (vals.astype(jnp.float32) * scales).astype(jnp.bfloat16)
 
 
 def _q_dq_kernel(
@@ -116,7 +131,7 @@ def _q_dq_kernel(
         bias_ref = refs[idx]; idx += 1
     if has_map:
         map_ref = refs[idx]; idx += 1
-    dq_ref, dq_scr = refs[idx:]
+    dq_ref, dq_scr, q_scr = refs[idx:]
 
     qi = pl.program_id(2)
     ki = pl.program_id(3)  # compacted step when has_fetch
@@ -135,6 +150,9 @@ def _q_dq_kernel(
     @pl.when(ki == 0)
     def _init():
         dq_scr[...] = jnp.zeros_like(dq_scr)
+        # Dequantize-on-load Q once per q-block (softmax scale pre-folded
+        # into sq_eff host-side).
+        q_scr[...] = _deq_bf16(q_ref[0, 0], qs_ref[0, 0], q_int4)
 
     visible, partial = _block_visible(
         q_start, k_start,
@@ -152,21 +170,12 @@ def _q_dq_kernel(
         visible = jnp.logical_and(visible, typ > 0)
 
     def _do_update(apply_mask: bool):
-        q_i8 = q_ref[0, 0]
-        k_i8 = k_ref[0, 0]
-        v_i8 = v_ref[0, 0]
-        if q_int4:
-            q_i8 = _unpack_int4_lanes(q_i8)
-        if k_int4:
-            k_i8 = _unpack_int4_lanes(k_i8)
-        if v_int4:
-            v_i8 = _unpack_int4_lanes(v_i8)
         do = do_ref[0, 0].astype(jnp.float32)
         lse = lse_ref[0, 0]
         delta = delta_ref[0, 0]
-        sq_eff = qs_ref[0, 0]   # (block_q, 1)|(1, 1), softmax scale folded
-        sk_raw = ks_ref[0, 0]   # (1, block_k)|(1, 1)
-        sv_raw = vs_ref[0, 0]
+        # k~ = sk * k_i8 dequantized on load — the (block_k, D) tile op
+        # replaces a full (block_q, block_k) score-tile scale pass.
+        k_bf = _deq_bf16(k_ref[0, 0], ks_ref[0, 0], k_int4)
 
         masked_args = None
         if apply_mask:
@@ -178,14 +187,13 @@ def _q_dq_kernel(
             masked_args = (jnp.bool_(True), mask)
         corr_blk = corr_ref[0, 0] if corr_ref is not None else None
         bias_blk = bias_ref[0, 0] if bias_ref is not None else None
-        p = _recompute_p_int(
-            q_i8, k_i8, sq_eff, sk_raw, lse, corr_blk, bias_blk,
+        p = _recompute_p_deq(
+            q_scr[...], k_bf, lse, corr_blk, bias_blk,
             masked_args=masked_args,
         )
 
-        # dP_ij = dO_i . v~_j ; v~ = v_i8 * sv folded on the V TILE
-        # (block_k x D ops) [+ dO_i . vm].
-        v_f = v_i8.astype(jnp.bfloat16) * sv_raw.astype(jnp.bfloat16)
+        # dP_ij = dO_i . v~_j [+ dO_i . vm].
+        v_f = _deq_bf16(v_ref[0, 0], vs_ref[0, 0], v_int4)
         dp = jax.lax.dot_general(
             do.astype(jnp.bfloat16), v_f,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -194,10 +202,10 @@ def _q_dq_kernel(
         if vm_ref is not None:
             dp = dp + jnp.sum(do * vm_ref[0, 0], axis=-1, keepdims=True)
         ds = p * (dp - delta)  # (block_q, block_k) FP32
-        # dQ_i += scale * sum_j dS_ij k~_j ; k~_j = sk_j k_i8_j (K-mean stays
-        # subtracted — consistent with the round-1 STE contract).
+        # dQ_i += scale * sum_j dS_ij k~_j (K-mean stays subtracted —
+        # consistent with the round-1 STE contract).
         dq_scr[...] += scale * jax.lax.dot_general(
-            (ds * sk_raw).astype(jnp.bfloat16), k_i8.astype(jnp.bfloat16),
+            ds.astype(jnp.bfloat16), k_bf,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -260,7 +268,7 @@ def _q_dkv_kernel(
         bias_ref = refs[idx]; idx += 1
     if has_map:
         map_ref = refs[idx]; idx += 1
-    dk_ref, dv_ref, dk_scr, dv_scr = refs[idx:]
+    dk_ref, dv_ref, dk_scr, dv_scr, k_scr, v_scr = refs[idx:]
 
     ki = pl.program_id(2)
     inner = pl.program_id(3)
@@ -288,6 +296,9 @@ def _q_dkv_kernel(
     def _init():
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
+        # K/V tiles are outer-constant: dequantize on load once per ki.
+        k_scr[...] = _deq_bf16(k_ref[0, 0], ks_ref[0, 0], k_int4)
+        v_scr[...] = _deq_bf16(v_ref[0, 0], vs_ref[0, 0], v_int4)
 
     visible, partial = _block_visible(
         q_start, k_start,
@@ -305,21 +316,12 @@ def _q_dkv_kernel(
         visible = jnp.logical_and(visible, typ > 0)
 
     def _do_update(apply_mask: bool):
-        q_i8 = q_ref[0, 0]
-        k_i8 = k_ref[0, 0]
-        v_i8 = v_ref[0, 0]
-        if q_int4:
-            q_i8 = _unpack_int4_lanes(q_i8)
-        if k_int4:
-            k_i8 = _unpack_int4_lanes(k_i8)
-        if v_int4:
-            v_i8 = _unpack_int4_lanes(v_i8)
         do = do_ref[0, 0].astype(jnp.float32)
         lse = lse_ref[0, 0]
         delta = delta_ref[0, 0]
-        sq_eff = qs_ref[0, 0]
-        sk_raw = ks_ref[0, 0]
-        sv_raw = vs_ref[0, 0]
+        # Q varies per inner step: dequantize on load with sq_eff
+        # (softmax scale pre-folded) — a (block_q, D) tile op.
+        q_bf = _deq_bf16(q_ref[0, 0], qs_ref[0, 0], q_int4)
 
         masked_args = None
         if apply_mask:
@@ -331,8 +333,8 @@ def _q_dkv_kernel(
             masked_args = (jnp.bool_(True), mask)
         corr_blk = corr_ref[0, 0] if corr_ref is not None else None
         bias_blk = bias_ref[0, 0] if bias_ref is not None else None
-        p = _recompute_p_int(
-            q_i8, k_i8, sq_eff, sk_raw, lse, corr_blk, bias_blk,
+        p = _recompute_p_deq(
+            q_bf, k_scr[...], lse, corr_blk, bias_blk,
             masked_args=masked_args,
         )
 
@@ -342,9 +344,8 @@ def _q_dkv_kernel(
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        v_f = v_i8.astype(jnp.bfloat16) * sv_raw.astype(jnp.bfloat16)
         dp = jax.lax.dot_general(
-            do.astype(jnp.bfloat16), v_f,
+            do.astype(jnp.bfloat16), v_scr[...],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -352,9 +353,10 @@ def _q_dkv_kernel(
             dp = dp + jnp.sum(do * vm_ref[0, 0], axis=-1, keepdims=True)
         ds = p * (dp - delta)
         # dK_j += scale * sum_i dS_ij q~_i ; q~_i = sq_i q_i8_i + qm.
-        # sq_eff = sq * scale, so the integer part needs no extra factor.
+        # q_bf already carries sq_eff = sq·scale, so dSᵀ·q_bf IS
+        # scale·dSᵀ·q~ — no extra factor, no score-tile scale pass.
         dk_scr[...] += jax.lax.dot_general(
-            (ds * sq_eff).astype(jnp.bfloat16), q_i8.astype(jnp.bfloat16),
+            ds.astype(jnp.bfloat16), q_bf,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -463,14 +465,11 @@ def quantized_attention_backward(
     def pad_stat(x, block, axis):
         return _pad_seq(x, block, axis) if x.shape[axis] > 1 else x
 
-    def _row_stat(x):
-        return jnp.swapaxes(x, -1, -2)
-
     # Scale folding mirrors the forward: softmax scale folds into Q scales.
     q_scales = pad_stat(qt_q.scales * scale, block_q, 2)     # (B,H,Sq|1,1)
-    k_scales = pad_stat(_row_stat(qt_k.scales), block_k, 3)  # (B,H,1,Sk|1)
-    # V scales in column form (B,H,Sk|1,1): folded onto the V tile in-kernel
-    # (block_k x D ops instead of block_q x block_k — see quant_attention).
+    # K/V scales in column form (B,H,Sk|1,1): dequantize-on-load folds them
+    # onto the (block_k, D) tiles (see quant_attention).
+    k_scales = pad_stat(qt_k.scales, block_k, 2)
     v_scales = pad_stat(qt_v.scales, block_k, 2)
 
     has_corr = score_corr is not None
@@ -649,8 +648,8 @@ def quantized_attention_backward(
             )
 
         ins = [q_spec, k_spec, v_spec,
-               col_spec(q_scales), row_spec(k_scales), kv_col_spec(v_scales),
-               do_spec, stat_spec, stat_spec]
+               col_spec(q_scales), kv_col_spec(k_scales),
+               kv_col_spec(v_scales), do_spec, stat_spec, stat_spec]
         extra = []
         if order == "kq" and has_qm:
             # qm: (B, Hq, 1, D) — q-side heads.
@@ -733,7 +732,10 @@ def quantized_attention_backward(
     dq_out_shape = jax.ShapeDtypeStruct(
         (batch, num_heads, padded_sq, head_dim), jnp.float32
     )
-    dq_scratch = [pltpu.VMEM((block_q, head_dim), jnp.float32)]
+    dq_scratch = [
+        pltpu.VMEM((block_q, head_dim), jnp.float32),
+        pltpu.VMEM((block_q, head_dim), jnp.bfloat16),  # deq Q
+    ]
     cparams = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         vmem_limit_bytes=64 * 1024 * 1024,
@@ -804,6 +806,8 @@ def quantized_attention_backward(
     dkv_scratch = [
         pltpu.VMEM((block_k, head_dim), jnp.float32),
         pltpu.VMEM((block_k, head_dim), jnp.float32),
+        pltpu.VMEM((block_k, head_dim), jnp.bfloat16),  # deq K
+        pltpu.VMEM((block_k, head_dim), jnp.bfloat16),  # deq V
     ]
     dkv_in_specs = build_specs(
         "kq", use_group=use_group_reduce, width=dkv_width
