@@ -22,6 +22,28 @@ import jax
 import jax.numpy as jnp
 
 
+def _consume(out):
+    """Sum of ALL leaves of the output: summing a slice lets XLA dead-code-
+    eliminate the unconsumed rows of transparent (non-pallas) ops — an 8192³
+    matmul "ran" 16× faster than the chip peak before this."""
+    return sum(
+        jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(out)
+    )
+
+
+def _perturb(x, s):
+    """Chain a negligible perturbation into the next iteration's input to
+    serialize iterations and defeat loop-invariant hoisting. Works on any
+    pytree (e.g. a params dict): every float leaf gets the epsilon."""
+
+    def leaf(v):
+        if jnp.issubdtype(v.dtype, jnp.floating):
+            return v + (s * 1e-30).astype(v.dtype)
+        return v
+
+    return jax.tree.map(leaf, x)
+
+
 def _looped(op: Callable, iters: int):
     @jax.jit
     def run(*args):
@@ -30,14 +52,9 @@ def _looped(op: Callable, iters: int):
         def body(i, carry):
             acc, qq = carry
             out = op(qq, *args[1:])
-            # Consume the FULL output: summing a slice lets XLA dead-code-
-            # eliminate the unconsumed rows of transparent (non-pallas) ops —
-            # an 8192³ matmul "ran" 16× faster than the chip peak before this.
-            s = jnp.sum(out.astype(jnp.float32))
+            s = _consume(out)
             acc = acc + s
-            # Chain a negligible perturbation into the next iteration's input
-            # to serialize iterations and defeat loop-invariant hoisting.
-            qq = qq + (s * 1e-30).astype(qq.dtype)
+            qq = _perturb(qq, s)
             return acc, qq
 
         acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0.0), q))
