@@ -767,6 +767,9 @@ def _try_fused_single_launch(
         smooth_q=key.config.effective_smooth_q(),
         hadamard=key.config.hadamard,
         emit_residuals=emit_residuals,
+        q_precision=key.config.q_precision,
+        k_precision=key.config.k_precision,
+        v_precision=key.config.v_precision,
         block_sizes=key.block_sizes, out_dtype=out_dtype,
         interpret=key.interpret,
     )

@@ -97,8 +97,9 @@ def _rotate(x, hmat):
     )
 
 
-def _quantize_tile(x, mean_row, per_tile: bool = False):
-    """Register-space quantization: pre-rotated (tile, D) f32 -> int8+scale.
+def _quantize_tile(x, mean_row, per_tile: bool = False, qmax: float = _QMAX):
+    """Register-space quantization: pre-rotated (tile, D) f32 -> int8+scale
+    (values in the int4 range when qmax=7; packing happens at emission).
 
     Identical math to quant_fused._quant_rows_kernel (mean subtract ->
     absmax -> exact-division round) so the emitted residuals match the
@@ -114,9 +115,19 @@ def _quantize_tile(x, mean_row, per_tile: bool = False):
         absmax = jnp.broadcast_to(
             jnp.max(absmax, axis=0, keepdims=True), absmax.shape
         )
-    scale = jnp.maximum(absmax, 1e-12) / _QMAX
-    q = jnp.clip(jnp.round(x / scale), -_QMAX - 1, _QMAX)
+    scale = jnp.maximum(absmax, 1e-12) / qmax
+    q = jnp.clip(jnp.round(x / scale), -qmax - 1, qmax)
     return q.astype(jnp.int8), scale
+
+
+def _pack_int4_tile(vals_i8):
+    """Split-halves nibble pack (matches ops.quant.pack_int4), int32 math
+    only — Mosaic cannot legalize sub-32-bit vector shifts."""
+    d = vals_i8.shape[-1]
+    v = vals_i8.astype(jnp.int32)
+    low = v[:, : d // 2]
+    high = v[:, d // 2:]
+    return ((low & 0xF) | ((high & 0xF) << 4)).astype(jnp.int8)
 
 
 def _fused_qattn_kernel(
@@ -138,6 +149,9 @@ def _fused_qattn_kernel(
     pv_int8: bool,
     ones_col: bool,
     emit_residuals: bool,
+    q_int4: bool,
+    k_int4: bool,
+    v_int4: bool,
     out_dtype,
 ):
     refs = list(refs)
@@ -236,17 +250,19 @@ def _fused_qattn_kernel(
         # Fake-quant semantics are exact: the cache holds deq(k'), the same
         # values the STE backward reconstructs from the residuals (modulo
         # one bf16 rounding, below the int8 quantization error).
-        k_i8, sk = _quantize_tile(k_rot, km)
+        k_i8, sk = _quantize_tile(k_rot, km, qmax=7.0 if k_int4 else _QMAX)
         kcache[pl.ds(k_start, block_k), :] = (
             k_i8.astype(jnp.float32) * sk
         ).astype(jnp.bfloat16)
         if ki8_ref is not None:
-            ki8_ref[0, 0] = k_i8
+            ki8_ref[0, 0] = _pack_int4_tile(k_i8) if k_int4 else k_i8
             ks_ref[0, 0] = sk
         if pv_int8:
             # V per-tile: its scale must be constant over the P·V
             # contraction so it factors out of the integer matmul.
-            v_i8, sv = _quantize_tile(v_f32, vm, per_tile=True)
+            v_i8, sv = _quantize_tile(
+                v_f32, vm, per_tile=True, qmax=7.0 if v_int4 else _QMAX
+            )
             v_tile = v_i8
             one = jnp.ones((block_k, 1), jnp.int8)
             svc[:, pl.ds(k_start, block_k)] = jnp.broadcast_to(
@@ -270,7 +286,7 @@ def _fused_qattn_kernel(
             v_tile = jnp.concatenate(cols, axis=1)
         vcache[pl.ds(k_start, block_k), :] = v_tile
         if vi8_ref is not None:
-            vi8_ref[0, 0] = v_i8
+            vi8_ref[0, 0] = _pack_int4_tile(v_i8) if v_int4 else v_i8
             vs_ref[0, 0] = sv
 
     @pl.when(ki == 0)
@@ -294,7 +310,7 @@ def _fused_qattn_kernel(
             qm = qm_scr[0:1, :]
         else:
             qm = None
-        q_i8, sq = _quantize_tile(q_rot, qm)
+        q_i8, sq = _quantize_tile(q_rot, qm, qmax=7.0 if q_int4 else _QMAX)
         # Dequantize with softmax scale AND per-row quant scale folded into
         # the bf16 values: the step loop's score tile needs ZERO elementwise
         # scale work — identical VPU cost to the dense bf16 kernel. The
@@ -303,7 +319,7 @@ def _fused_qattn_kernel(
             jnp.bfloat16
         )
         if qi8_ref is not None:
-            qi8_ref[0, 0] = q_i8
+            qi8_ref[0, 0] = _pack_int4_tile(q_i8) if q_int4 else q_i8
             qs_ref[0, 0] = sq
 
     if smooth_q:
@@ -442,11 +458,14 @@ def fused_quantize_attend(
     hadamard: bool = False,
     pv_int8: bool = False,
     emit_residuals: bool = True,
+    q_precision: Precision = Precision.INT8,
+    k_precision: Precision = Precision.INT8,
+    v_precision: Precision = Precision.INT8,
     block_sizes: BlockSizes = BlockSizes(),
     out_dtype=jnp.float32,
     interpret: bool = False,
 ):
-    """Runtime INT8 quantization + fused attention in one kernel launch.
+    """Runtime INT8/INT4 quantization + fused attention in one kernel launch.
 
     Returns (out, lse, qt_q, qt_k, qt_v, qm, vm): the attention output, its
     LSE, the emitted quantized residuals (QuantizedTensor, ROW/SYMMETRIC),
@@ -475,6 +494,9 @@ def fused_quantize_attend(
     batch, num_heads, seq_q, head_dim = q.shape
     _, num_kv_heads, seq_k, _ = k.shape
     group = num_heads // num_kv_heads
+    q_int4 = q_precision == Precision.INT4
+    k_int4 = k_precision == Precision.INT4
+    v_int4 = v_precision == Precision.INT4
     if scale is None:
         scale = head_dim**-0.5
     if smooth_q is None:
@@ -572,31 +594,34 @@ def fused_quantize_attend(
         jax.ShapeDtypeStruct((batch, num_heads, padded_sq, 1), jnp.float32),
     ]
     if emit_residuals:
+        dq_w = head_dim // (2 if q_int4 else 1)
+        dk_w = head_dim // (2 if k_int4 else 1)
+        dv_w = head_dim // (2 if v_int4 else 1)
         out_specs += [
             pl.BlockSpec(
-                (1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)
+                (1, 1, block_q, dq_w), lambda b, h, i, j: (b, h, i, 0)
             ),
             pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_k, head_dim), kv_res_idx),
+            pl.BlockSpec((1, 1, block_k, dk_w), kv_res_idx),
             pl.BlockSpec((1, 1, block_k, 1), kv_res_idx),
-            pl.BlockSpec((1, 1, block_k, head_dim), kv_res_idx),
+            pl.BlockSpec((1, 1, block_k, dv_w), kv_res_idx),
             pl.BlockSpec((1, 1, block_k, 1), kv_res_idx),
         ]
         out_shape += [
             jax.ShapeDtypeStruct(
-                (batch, num_heads, padded_sq, head_dim), jnp.int8
+                (batch, num_heads, padded_sq, dq_w), jnp.int8
             ),
             jax.ShapeDtypeStruct(
                 (batch, num_heads, padded_sq, 1), jnp.float32
             ),
             jax.ShapeDtypeStruct(
-                (batch, num_kv_heads, padded_sk, head_dim), jnp.int8
+                (batch, num_kv_heads, padded_sk, dk_w), jnp.int8
             ),
             jax.ShapeDtypeStruct(
                 (batch, num_kv_heads, padded_sk, 1), jnp.float32
             ),
             jax.ShapeDtypeStruct(
-                (batch, num_kv_heads, padded_sk, head_dim), jnp.int8
+                (batch, num_kv_heads, padded_sk, dv_w), jnp.int8
             ),
             jax.ShapeDtypeStruct(
                 (batch, num_kv_heads, padded_sk, 1), jnp.float32
@@ -666,6 +691,7 @@ def fused_quantize_attend(
         smooth=smooth, smooth_q=smooth_q, hadamard=hadamard,
         has_bias=has_bias, pv_int8=pv_int8, ones_col=ones_col,
         emit_residuals=emit_residuals,
+        q_int4=q_int4, k_int4=k_int4, v_int4=v_int4,
         out_dtype=jnp.dtype(out_dtype),
     )
     outs = pl.pallas_call(
@@ -716,13 +742,13 @@ def fused_quantize_attend(
     if smooth:
         vm = outs[9 if smooth_q else 8]
 
-    def qt(vals, scales, shape, dtype):
+    def qt(vals, scales, shape, dtype, precision):
         return QuantizedTensor(
             values=vals[:, :, :shape[2]],
             scales=scales[:, :, :shape[2]],
             zero_points=None,
             row_sums=None,
-            precision=Precision.INT8,
+            precision=precision,
             mode=QuantMode.ROW,
             strategy=QuantStrategy.SYMMETRIC,
             block_size=0,
@@ -730,9 +756,9 @@ def fused_quantize_attend(
             orig_dtype=jnp.dtype(dtype),
         )
 
-    qt_q = qt(q_i8, q_s, q.shape, q.dtype)
-    qt_k = qt(k_i8, k_s, k.shape, k.dtype)
-    qt_v = qt(v_i8, v_s, v.shape, v.dtype)
+    qt_q = qt(q_i8, q_s, q.shape, q.dtype, q_precision)
+    qt_k = qt(k_i8, k_s, k.shape, k.dtype, k_precision)
+    qt_v = qt(v_i8, v_s, v.shape, v.dtype, v_precision)
     return out, lse, qt_q, qt_k, qt_v, qm, vm
 
 
@@ -743,8 +769,10 @@ def fused_path_supported(
     """Whether the single-launch fused path can serve this call.
 
     The K/V VMEM caches (int8 + bf16 + scale rows, lane-padded to 128) must
-    fit the budget; INT4/asymmetric/block-sparse/pv_int8 configs use the
-    two-pass route. `UMFA_DISABLE_FUSED_QUANT=1` forces the two-pass route
+    fit the budget; asymmetric/block-sparse/pv_int8 configs use the
+    two-pass route. INT4 operands are supported (quantized to the ±7 range
+    in registers, residuals nibble-packed at emission) when head_dim is
+    even. `UMFA_DISABLE_FUSED_QUANT=1` forces the two-pass route
     (debug/ablation knob, mirroring UMFA_DISABLE_FUSED).
     """
     import os
@@ -757,7 +785,7 @@ def fused_path_supported(
         return False
     if Precision.INT4 in (
         config.q_precision, config.k_precision, config.v_precision
-    ):
+    ) and head_dim % 2 != 0:
         return False
     if config.pv_int8:
         # config-level pv_int8 keeps the two-pass BLOCK-mode V contract
