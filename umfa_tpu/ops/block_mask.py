@@ -51,17 +51,27 @@ class BlockMask:
     # from concrete (non-traced) masks.
     fetch_kv: Optional[jax.Array] = None   # (Bm, Hm, nq, max_vis_kv) int32
     fetch_q: Optional[jax.Array] = None    # (Bm, Hm, nk, max_vis_q) int32
+    # Cache-fill schedule for the single-launch fused quantized kernel
+    # (quant_fused_attn): at compacted step (qi, s), `hold_kv` is the tile
+    # the K/V HBM buffer must hold (constant between first visits → DMA
+    # elided), and `fill_kv` is 2 at the very first fill of the slice (the
+    # kernel estimates smoothing means there), 1 at other first visits,
+    # else 0. Tiles no row visits are never fetched or filled.
+    hold_kv: Optional[jax.Array] = None    # (Bm, Hm, nq, max_vis_kv) int32
+    fill_kv: Optional[jax.Array] = None    # (Bm, Hm, nq, max_vis_kv) int32
 
     def tree_flatten(self):
-        return (self.block_map, self.bias, self.fetch_kv, self.fetch_q), (
-            self.block_q, self.block_k, self.seq_q, self.seq_k,
-        )
+        return (
+            self.block_map, self.bias, self.fetch_kv, self.fetch_q,
+            self.hold_kv, self.fill_kv,
+        ), (self.block_q, self.block_k, self.seq_q, self.seq_k)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(
             children[0], children[1], *aux,
             fetch_kv=children[2], fetch_q=children[3],
+            hold_kv=children[4], fill_kv=children[5],
         )
 
     @property
@@ -211,20 +221,55 @@ def make_block_mask(
     if needs_bias:
         bias = jnp.where(bool_mask, 0.0, DEFAULT_MASK_VALUE).astype(jnp.float32)
 
-    fetch_kv = fetch_q = None
+    fetch_kv = fetch_q = hold_kv = fill_kv = None
     if not isinstance(block_map, jax.core.Tracer):
         import numpy as np
 
         m = np.asarray(block_map)  # (Bm, Hm, nq, nk)
-        fetch_kv = jnp.asarray(_compact_ids(m), jnp.int32)
+        fkv = _compact_ids(m)
+        fetch_kv = jnp.asarray(fkv, jnp.int32)
         fetch_q = jnp.asarray(
             _compact_ids(np.swapaxes(m, 2, 3)), jnp.int32
         )
+        hold, fill = _fill_schedule(fkv)
+        hold_kv = jnp.asarray(hold, jnp.int32)
+        fill_kv = jnp.asarray(fill, jnp.int32)
     return BlockMask(
         block_map=block_map, bias=bias,
         block_q=block_q, block_k=block_k, seq_q=seq_q, seq_k=seq_k,
         fetch_kv=fetch_kv, fetch_q=fetch_q,
+        hold_kv=hold_kv, fill_kv=fill_kv,
     )
+
+
+def _fill_schedule(fetch):
+    """Cache-fill schedule from a compacted fetch table (numpy).
+
+    Walking the grid in row-major (qi, step) order per slice: `hold[pos]`
+    is the tile the K/V HBM buffer holds at each step — it only changes at
+    a tile's FIRST visit, so every other step's DMA is elided — and
+    `fill[pos]` marks first visits (2 for the slice's very first fill,
+    where the fused kernel estimates its smoothing means)."""
+    import numpy as np
+
+    bm, hm, nq, w = fetch.shape
+    hold = np.zeros_like(fetch)
+    fill = np.zeros_like(fetch)
+    for b in range(bm):
+        for h in range(hm):
+            seen = set()
+            cur = 0
+            any_fill = False
+            for qi in range(nq):
+                for s in range(w):
+                    t = int(fetch[b, h, qi, s])
+                    if t >= 0 and t not in seen:
+                        seen.add(t)
+                        cur = t
+                        fill[b, h, qi, s] = 1 if any_fill else 2
+                        any_fill = True
+                    hold[b, h, qi, s] = cur
+    return hold, fill
 
 
 def _compact_ids(m):

@@ -743,7 +743,8 @@ def _quantize_operands(
 
 
 def _try_fused_single_launch(
-    key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, emit_residuals: bool
+    key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, hold_kv, fill_kv,
+    emit_residuals: bool,
 ):
     """Route to the single-launch kernel (ops/quant_fused_attn.py) when
     supported: quantization, attention, and the V-mean restore all happen
@@ -757,6 +758,9 @@ def _try_fused_single_launch(
     if not fused_path_supported(
         key.config, k.shape[2], k.shape[3], block_map, fetch_kv, bias,
         causal=key.causal, window=key.window, seq_q=q.shape[2],
+        hold_kv=hold_kv, fill_kv=fill_kv,
+        num_heads=q.shape[1], num_kv_heads=k.shape[1],
+        bias_grad=key.bias_grad,
     ):
         return None
     out_dtype = jnp.dtype(key.out_dtype) if key.out_dtype else q.dtype
@@ -767,6 +771,8 @@ def _try_fused_single_launch(
         smooth_q=key.config.effective_smooth_q(),
         hadamard=key.config.hadamard,
         emit_residuals=emit_residuals,
+        block_map=block_map, fetch_kv=fetch_kv,
+        hold_kv=hold_kv, fill_kv=fill_kv,
         q_precision=key.config.q_precision,
         k_precision=key.config.k_precision,
         v_precision=key.config.v_precision,
@@ -776,7 +782,10 @@ def _try_fused_single_launch(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _qflash(key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, fetch_q):
+def _qflash(
+    key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, fetch_q,
+    hold_kv, fill_kv,
+):
     """Differentiable quantized attention returning (out, lse). LSE is
     merge-grade only when config.smooth is False — smoothing shifts LSE by a
     per-chunk constant, which is softmax-invariant locally but breaks
@@ -785,23 +794,30 @@ def _qflash(key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, fetch_q):
     # — Pallas outputs are opaque to XLA DCE, so the inference path must not
     # write them at all.
     fused = _try_fused_single_launch(
-        key, q, k, v, bias, block_map, fetch_kv, emit_residuals=False
+        key, q, k, v, bias, block_map, fetch_kv, hold_kv, fill_kv,
+        emit_residuals=False,
     )
     if fused is not None:
         return fused[0], fused[1]
-    (out, lse), _ = _qflash_fwd(key, q, k, v, bias, block_map, fetch_kv, fetch_q)
+    (out, lse), _ = _qflash_fwd(
+        key, q, k, v, bias, block_map, fetch_kv, fetch_q, hold_kv, fill_kv
+    )
     return out, lse
 
 
-def _qflash_fwd(key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, fetch_q):
+def _qflash_fwd(
+    key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, fetch_q,
+    hold_kv, fill_kv,
+):
     fused = _try_fused_single_launch(
-        key, q, k, v, bias, block_map, fetch_kv, emit_residuals=True
+        key, q, k, v, bias, block_map, fetch_kv, hold_kv, fill_kv,
+        emit_residuals=True,
     )
     if fused is not None:
         out, lse, qt_q, qt_k, qt_v, qm, vm = fused
         return (out, lse), (
             qt_q, qt_k, qt_v, qm, vm, bias, block_map, fetch_kv, fetch_q,
-            out, lse,
+            hold_kv, fill_kv, out, lse,
         )
 
     v_tile_k = None
@@ -835,13 +851,14 @@ def _qflash_fwd(key: _QAttnKey, q, k, v, bias, block_map, fetch_kv, fetch_q):
     # Residuals stay quantized — the training-memory saving
     # (reference: 25-40%, README.md:100).
     return (out, lse), (
-        qt_q, qt_k, qt_v, qm, vm, bias, block_map, fetch_kv, fetch_q, out, lse
+        qt_q, qt_k, qt_v, qm, vm, bias, block_map, fetch_kv, fetch_q,
+        hold_kv, fill_kv, out, lse,
     )
 
 
 def _qflash_bwd(key: _QAttnKey, residuals, g):
-    (qt_q, qt_k, qt_v, qm, vm, bias, block_map, fetch_kv, fetch_q, out,
-     lse) = residuals
+    (qt_q, qt_k, qt_v, qm, vm, bias, block_map, fetch_kv, fetch_q,
+     hold_kv, fill_kv, out, lse) = residuals
     g, g_lse = g
     # STE backward contract (reference: MFABridge+Quantized.swift:425-440,
     # AGENTS.md:108-111): gradients of the fake-quant forward, i.e. the dense
@@ -927,12 +944,14 @@ def _qflash_bwd(key: _QAttnKey, residuals, g):
     dmap = None if block_map is None else jnp.zeros_like(block_map)
     dfkv = None if fetch_kv is None else jnp.zeros_like(fetch_kv)
     dfq = None if fetch_q is None else jnp.zeros_like(fetch_q)
+    dhold = None if hold_kv is None else jnp.zeros_like(hold_kv)
+    dfill = None if fill_kv is None else jnp.zeros_like(fill_kv)
     return (
         dq.astype(qt_q.orig_dtype),
         dk.astype(qt_k.orig_dtype),
         dv.astype(qt_v.orig_dtype),
         dbias,
-        dmap, dfkv, dfq,
+        dmap, dfkv, dfq, dhold, dfill,
     )
 
 
@@ -966,13 +985,15 @@ def quantized_flash_attention(
     forward AND backward (the reference's quantized path is mask-aware too:
     MFABridge+Quantized.swift:504-536).
     """
-    block_map = fetch_kv = fetch_q = None
+    block_map = fetch_kv = fetch_q = hold_kv = fill_kv = None
     if block_mask is not None:
         assert bias is None, "pass either bias or block_mask, not both"
         bias = block_mask.bias
         block_map = block_mask.block_map
         fetch_kv = block_mask.fetch_kv
         fetch_q = block_mask.fetch_q
+        hold_kv = getattr(block_mask, "hold_kv", None)
+        fill_kv = getattr(block_mask, "fill_kv", None)
         # Forward AND backward tilings must match the compiled map.
         block_sizes = dataclasses.replace(
             block_sizes,
@@ -997,7 +1018,9 @@ def quantized_flash_attention(
         interpret=interpret,
         bias_grad=bias_grad,
     )
-    out, lse = _qflash(key, q, k, v, bias, block_map, fetch_kv, fetch_q)
+    out, lse = _qflash(
+        key, q, k, v, bias, block_map, fetch_kv, fetch_q, hold_kv, fill_kv
+    )
     if return_lse:
         return out, lse
     return out

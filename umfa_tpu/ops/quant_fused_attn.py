@@ -43,9 +43,10 @@ split start mid-sequence with a cold cache. Batch is always "parallel";
 heads are "parallel" too when group == 1 (each head fills its own cache)
 but "arbitrary" under GQA (the group shares the leader head's fill).
 
-Falls back (see quant_attention._qflash_fwd) for: INT4 operands, asymmetric
-strategy, block-sparse masks, and sequences whose K/V caches exceed the
-VMEM budget.
+INT4 operands quantize to the ±7 range in registers (same deq-bf16 cache)
+and nibble-pack their residuals at emission. Falls back (see
+quant_attention._qflash_fwd) for: asymmetric strategy, block-sparse masks,
+odd head_dim INT4, and sequences whose K/V caches exceed the VMEM budget.
 """
 
 from __future__ import annotations
@@ -152,9 +153,17 @@ def _fused_qattn_kernel(
     q_int4: bool,
     k_int4: bool,
     v_int4: bool,
+    has_fetch: bool,
     out_dtype,
 ):
     refs = list(refs)
+    fetch_ref = hold_ref = fill_ref = None
+    if has_fetch:
+        # Scalar-prefetch operands (PrefetchScalarGridSpec): the compacted
+        # fetch table, the HBM-buffer hold schedule, and the fill flags
+        # (see block_mask._fill_schedule).
+        fetch_ref, hold_ref, fill_ref = refs[:3]
+        refs = refs[3:]
     q_ref, k_ref, v_ref = refs[:3]
     idx = 3
     h_ref = bias_ref = None
@@ -196,24 +205,48 @@ def _fused_qattn_kernel(
 
     h = pl.program_id(1)
     qi = pl.program_id(2)
-    ki = pl.program_id(3)
+    ki = pl.program_id(3)  # compacted step index when has_fetch
     q_start = qi * block_q
-    k_start = ki * block_k
+    if has_fetch:
+        b = pl.program_id(0)
+
+        def _tbl(ref, o, s):
+            return ref[
+                b if ref.shape[0] > 1 else 0,
+                h if ref.shape[1] > 1 else 0,
+                o, s,
+            ]
+
+        fid_raw = _tbl(fetch_ref, qi, ki)
+        fid = jnp.where(fid_raw >= 0, fid_raw, -fid_raw - 1)
+        k_start = fid * block_k
+    else:
+        k_start = ki * block_k
 
     visible, partial = _block_visible(
         q_start, k_start,
         block_q=block_q, block_k=block_k,
         causal=causal, window=window, seq_q=seq_q, seq_k=seq_k,
     )
-
-    # First q-block that sees tile ki (cache-fill schedule; see _last_filled
-    # for the matching HBM index maps).
-    rb = _right_bound(causal, window)
-    if rb is None:
-        first_qi = 0
+    if has_fetch:
+        visible = jnp.logical_and(visible, fid_raw >= 0)
+        # Cache fill on FIRST VISIT per the host-built schedule; flag 2
+        # marks the slice's very first fill (means estimated there).
+        fill_flag = _tbl(fill_ref, qi, ki)
+        fill = jnp.logical_and(fill_flag > 0, h % group == 0)
+        first_fill = fill_flag == 2
+        comp_fill = fill_flag > 0
     else:
-        first_qi = jnp.maximum(ki * block_k - rb, 0) // block_q
-    fill = jnp.logical_and(qi == first_qi, h % group == 0)
+        # First q-block that sees tile ki (cache-fill schedule; see
+        # _last_filled for the matching HBM index maps).
+        rb = _right_bound(causal, window)
+        if rb is None:
+            first_qi = 0
+        else:
+            first_qi = jnp.maximum(ki * block_k - rb, 0) // block_q
+        fill = jnp.logical_and(qi == first_qi, h % group == 0)
+        first_fill = ki == 0
+        comp_fill = qi == first_qi
 
     hmat = h_ref[...] if h_ref is not None else None
 
@@ -226,10 +259,9 @@ def _fused_qattn_kernel(
             # already holds in registers) — no auxiliary XLA reduction
             # passes, no per-(b,h) mean input streams. The compensation
             # algebra is exact for ANY subtracted vector, so the estimator
-            # only affects how much dynamic range smoothing removes. Tile 0
-            # fills first (grid step (qi=0, ki=0)), so later fills read the
-            # stored vector.
-            @pl.when(ki == 0)
+            # only affects how much dynamic range smoothing removes. The
+            # first-filled tile computes the vector; later fills read it.
+            @pl.when(first_fill)
             def _kv_means():
                 km_row = jnp.mean(k_rot, axis=0, keepdims=True)
                 km_scr[...] = jnp.broadcast_to(km_row, km_scr.shape)
@@ -329,7 +361,7 @@ def _fused_qattn_kernel(
         # loop. Per-q-head (qm differs within a GQA group), so keyed on
         # first-touch, not on the group-leader fill. Runs AFTER _init so
         # qm_scr is populated at grid step (0, 0).
-        @pl.when(qi == first_qi)
+        @pl.when(comp_fill)
         def _fill_comp():
             k_bf = kcache[pl.ds(k_start, block_k), :]
             c_row = jax.lax.dot_general(
@@ -458,6 +490,10 @@ def fused_quantize_attend(
     hadamard: bool = False,
     pv_int8: bool = False,
     emit_residuals: bool = True,
+    block_map=None,
+    fetch_kv=None,
+    hold_kv=None,
+    fill_kv=None,
     q_precision: Precision = Precision.INT8,
     k_precision: Precision = Precision.INT8,
     v_precision: Precision = Precision.INT8,
@@ -524,32 +560,71 @@ def fused_quantize_attend(
     num_k_blocks = padded_sk // block_k
 
     rb = _right_bound(causal, window)
+    has_fetch = fetch_kv is not None
+    num_steps = fetch_kv.shape[3] if has_fetch else num_k_blocks
 
-    def _last_filled(qi, ki):
-        """Largest tile already cache-filled at step (qi, ki) — the K/V HBM
-        index maps follow it so the fetch happens exactly on first touch and
-        the residual write-back always flushes the tile the buffer holds."""
-        if rb is None:
-            return jnp.where(qi > 0, num_k_blocks - 1, ki)
-        a = (qi * block_q - 1 + rb) // block_k
-        bmax = ((qi + 1) * block_q - 1 + rb) // block_k
-        t = jnp.maximum(a, jnp.minimum(ki, bmax))
-        return jnp.clip(t, 0, num_k_blocks - 1)
+    def _tbl(ref, b, h, o, s):
+        return ref[
+            b if ref.shape[0] > 1 else 0,
+            h if ref.shape[1] > 1 else 0,
+            o, s,
+        ]
 
-    def kv_idx(b, h, qi, ki):
-        return (b, h // group, _last_filled(qi, ki), 0)
+    if has_fetch:
+        # Compacted sparse walk: the K/V HBM buffer follows the host-built
+        # `hold` schedule — constant between first visits, so every other
+        # step's DMA is elided; non-leader GQA heads freeze on the slice's
+        # final hold tile and re-read nothing. Residual windows follow the
+        # same schedule (the buffer always holds the tile it last filled).
+        w = num_steps
 
-    def kv_res_idx(b, h, qi, ki):
-        # Residuals are written during the group-leader pass only; later
-        # heads freeze the index on the last tile (whose data the buffer
-        # still holds) so stale flushes stay correct.
-        t = jnp.where(
-            h % group == 0, _last_filled(qi, ki), num_k_blocks - 1
-        )
-        return (b, h // group, t, 0)
+        def kv_idx(b, h, i, j, *refs):
+            hold = refs[1]
+            t = jnp.where(
+                h % group == 0,
+                _tbl(hold, b, h, i, j),
+                _tbl(hold, b, h, num_q_blocks - 1, w - 1),
+            )
+            return (b, h // group, t, 0)
+
+        kv_res_idx = kv_idx
+
+        def _bias_j(b, h, i, j, refs):
+            f = _tbl(refs[0], b, h, i, j)
+            return jnp.where(f >= 0, f, -f - 1)
+    else:
+        def _last_filled(qi, ki):
+            """Largest tile already cache-filled at step (qi, ki) — the K/V
+            HBM index maps follow it so the fetch happens exactly on first
+            touch and the residual write-back always flushes the tile the
+            buffer holds."""
+            if rb is None:
+                return jnp.where(qi > 0, num_k_blocks - 1, ki)
+            a = (qi * block_q - 1 + rb) // block_k
+            bmax = ((qi + 1) * block_q - 1 + rb) // block_k
+            t = jnp.maximum(a, jnp.minimum(ki, bmax))
+            return jnp.clip(t, 0, num_k_blocks - 1)
+
+        def kv_idx(b, h, i, j, *refs):
+            return (b, h // group, _last_filled(i, j), 0)
+
+        def kv_res_idx(b, h, i, j, *refs):
+            # Residuals are written during the group-leader pass only; later
+            # heads freeze the index on the last tile (whose data the buffer
+            # still holds) so stale flushes stay correct.
+            t = jnp.where(
+                h % group == 0, _last_filled(i, j), num_k_blocks - 1
+            )
+            return (b, h // group, t, 0)
+
+        def _bias_j(b, h, i, j, refs):
+            return j
 
     in_specs = [
-        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim),
+            lambda b, h, i, j, *refs: (b, h, i, 0),
+        ),
         pl.BlockSpec((1, 1, block_k, head_dim), kv_idx),
         pl.BlockSpec((1, 1, block_k, head_dim), kv_idx),
     ]
@@ -558,7 +633,9 @@ def fused_quantize_attend(
         from umfa_tpu.ops.quant_fused import hadamard_matrix
 
         in_specs.append(
-            pl.BlockSpec((head_dim, head_dim), lambda b, h, i, j: (0, 0))
+            pl.BlockSpec(
+                (head_dim, head_dim), lambda b, h, i, j, *refs: (0, 0)
+            )
         )
         args.append(hadamard_matrix(head_dim))
     has_bias = bias is not None
@@ -573,19 +650,24 @@ def fused_quantize_attend(
         in_specs.append(
             pl.BlockSpec(
                 (1, 1, 1 if bq_bcast else block_q, block_k),
-                lambda b, h, i, j, bb=bb, bh=bh, bq=bq_bcast: (
+                lambda b, h, i, j, *refs, bb=bb, bh=bh, bq=bq_bcast: (
                     b if bb > 1 else 0,
                     h if bh > 1 else 0,
                     0 if bq else i,
-                    j,
+                    _bias_j(b, h, i, j, refs),
                 ),
             )
         )
         args.append(bias)
 
     out_specs = [
-        pl.BlockSpec((1, 1, block_q, head_dim), lambda b, h, i, j: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
+        pl.BlockSpec(
+            (1, 1, block_q, head_dim),
+            lambda b, h, i, j, *refs: (b, h, i, 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, block_q, 1), lambda b, h, i, j, *refs: (b, h, i, 0)
+        ),
     ]
     out_shape = [
         jax.ShapeDtypeStruct(
@@ -599,9 +681,11 @@ def fused_quantize_attend(
         dv_w = head_dim // (2 if v_int4 else 1)
         out_specs += [
             pl.BlockSpec(
-                (1, 1, block_q, dq_w), lambda b, h, i, j: (b, h, i, 0)
+                (1, 1, block_q, dq_w), lambda b, h, i, j, *refs: (b, h, i, 0)
             ),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec(
+                (1, 1, block_q, 1), lambda b, h, i, j, *refs: (b, h, i, 0)
+            ),
             pl.BlockSpec((1, 1, block_k, dk_w), kv_res_idx),
             pl.BlockSpec((1, 1, block_k, 1), kv_res_idx),
             pl.BlockSpec((1, 1, block_k, dv_w), kv_res_idx),
@@ -632,7 +716,8 @@ def fused_quantize_attend(
             # backward's dequantization contract.
             out_specs.append(
                 pl.BlockSpec(
-                    (1, 1, 1, head_dim), lambda b, h, i, j: (b, h, 0, 0)
+                    (1, 1, 1, head_dim),
+                    lambda b, h, i, j, *refs: (b, h, 0, 0),
                 )
             )
             out_shape.append(
@@ -644,7 +729,7 @@ def fused_quantize_attend(
             out_specs.append(
                 pl.BlockSpec(
                     (1, 1, 1, head_dim),
-                    lambda b, h, i, j: (b, h // group, 0, 0),
+                    lambda b, h, i, j, *refs: (b, h // group, 0, 0),
                 )
             )
             out_shape.append(
@@ -686,20 +771,37 @@ def fused_quantize_attend(
         scale=scale, causal=causal, window=window,
         block_q=block_q, block_k=block_k,
         seq_q=seq_q, seq_k=seq_k,
-        num_k_blocks=num_k_blocks,
+        num_k_blocks=num_steps,  # finalize at the last (compacted) step
         head_dim=head_dim, group=group,
         smooth=smooth, smooth_q=smooth_q, hadamard=hadamard,
         has_bias=has_bias, pv_int8=pv_int8, ones_col=ones_col,
         emit_residuals=emit_residuals,
         q_int4=q_int4, k_int4=k_int4, v_int4=v_int4,
+        has_fetch=has_fetch,
         out_dtype=jnp.dtype(out_dtype),
     )
+    grid = (batch, num_heads, num_q_blocks, num_steps)
+    if has_fetch:
+        call_kwargs = dict(
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+        )
+        args = [fetch_kv, hold_kv, fill_kv] + args
+    else:
+        call_kwargs = dict(
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        )
     outs = pl.pallas_call(
         kernel,
-        grid=(batch, num_heads, num_q_blocks, num_k_blocks),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=scratch_shapes,
+        **call_kwargs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * batch * num_heads * seq_q * seq_k * head_dim,
@@ -764,7 +866,9 @@ def fused_quantize_attend(
 
 def fused_path_supported(
     config, seq_k: int, head_dim: int, block_map, fetch_kv, bias,
-    *, causal: bool, window, seq_q: int, vmem_budget: int = 6 * 2**20
+    *, causal: bool, window, seq_q: int, vmem_budget: int = 6 * 2**20,
+    hold_kv=None, fill_kv=None, num_heads=None, num_kv_heads=None,
+    bias_grad: bool = False,
 ) -> bool:
     """Whether the single-launch fused path can serve this call.
 
@@ -792,7 +896,22 @@ def fused_path_supported(
         # (round-to-nearest P); the fused kernel's folded-truncation variant
         # is reachable via fused_quantize_attend(pv_int8=True).
         return False
-    if block_map is not None or fetch_kv is not None:
+    if block_map is not None:
+        # Block-sparse needs the full compacted schedule (fetch + hold +
+        # fill tables from make_block_mask). Per-head mask tables with a
+        # shared GQA cache would let a non-leader head read tiles the
+        # leader never filled; bias_grad dequantizes full residual tensors
+        # whose never-visited tiles are uninitialized.
+        if fetch_kv is None or hold_kv is None or fill_kv is None:
+            return False
+        if bias_grad:
+            return False
+        if (
+            num_heads is not None and num_kv_heads is not None
+            and num_heads != num_kv_heads and block_map.shape[1] > 1
+        ):
+            return False
+    elif fetch_kv is not None:
         return False
     lanes = max(head_dim, 128)
     s_pad = ((seq_k + 2047) // 2048) * 2048
