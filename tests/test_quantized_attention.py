@@ -490,3 +490,58 @@ def test_int4_default_recipe_bounds(rng):
     out_s = quantized_flash_attention(qs, ks, v, config=cfg, interpret=True)
     want_s = reference_attention(qs, ks, v)
     assert rel_err(out_s, want_s) < INT4_STRUCT_REL_ERR
+
+
+def test_sparse_routes_through_fused_single_launch(rng):
+    """Block-sparse + default int8 config must take the single-launch fused
+    path (hold/fill cache-fill schedule), not the two-pass route."""
+    from umfa_tpu.ops.block_mask import make_block_mask
+    from umfa_tpu.ops.quant_fused_attn import fused_path_supported
+
+    seq = 512
+    bm = make_block_mask(_block_diag_mask(seq, 128), seq, seq)
+    assert bm.hold_kv is not None and bm.fill_kv is not None
+    cfg = QuantizationConfig()
+    assert fused_path_supported(
+        cfg, seq, 64, bm.block_map, bm.fetch_kv, bm.bias,
+        causal=False, window=None, seq_q=seq,
+        hold_kv=bm.hold_kv, fill_kv=bm.fill_kv,
+        num_heads=2, num_kv_heads=2,
+    )
+    # bias_grad must fall back (sparse residuals have uninitialized
+    # never-visited tiles the bias-grad dequantization would read).
+    assert not fused_path_supported(
+        cfg, seq, 64, bm.block_map, bm.fetch_kv, bm.bias,
+        causal=False, window=None, seq_q=seq,
+        hold_kv=bm.hold_kv, fill_kv=bm.fill_kv,
+        num_heads=2, num_kv_heads=2, bias_grad=True,
+    )
+
+
+def test_int4_sparse_block_mask(rng):
+    """Default INT4 recipe through a compiled block mask (fused path with
+    nibble-packed residual emission under the hold schedule)."""
+    from umfa_tpu.ops.block_mask import make_block_mask
+
+    seq = 512
+    mask = _block_diag_mask(seq, 256)
+    bm = make_block_mask(mask, seq, seq)
+    q, k, v = make_qkv(rng, 1, 2, seq, seq, 64)
+    cfg4 = QuantizationConfig.from_mode_string("int4")
+    out = quantized_flash_attention(
+        q, k, v, config=cfg4, block_mask=bm, interpret=True
+    )
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+    want = reference_attention(q, k, v, bias[None, None])
+    assert rel_err(out, want) < 0.25  # iid-gaussian int4 envelope
+
+    # grads flow through the packed sparse residuals
+    g = jax.grad(lambda q: jnp.sum(quantized_flash_attention(
+        q, k, v, config=cfg4, block_mask=bm, interpret=True
+    ).astype(jnp.float32) ** 2))(q)
+    gr = jax.grad(lambda q: jnp.sum(reference_attention(
+        q, k, v, bias[None, None]) ** 2))(q.astype(jnp.float32))
+    ga = np.asarray(g, np.float32).ravel()
+    gb = np.asarray(gr, np.float32).ravel()
+    cos = float((ga * gb).sum() / (np.linalg.norm(ga) * np.linalg.norm(gb)))
+    assert cos > 0.9, cos
