@@ -75,3 +75,21 @@ def test_generate(rng):
     assert out.shape == (2, 14)
     np.testing.assert_array_equal(np.asarray(out[:, :8]), np.asarray(prompt))
     assert (np.asarray(out) >= 0).all() and (np.asarray(out) < CFG.vocab).all()
+
+
+def test_generate_int8_kv_cache(rng):
+    """INT8 KV cache through the full model decode loop: same greedy tokens
+    as the dense cache at these scales (int8 KV noise ~1% on logits)."""
+    import dataclasses
+
+    cfg8 = gpt.GPTConfig(
+        vocab=64, dim=128, num_heads=4, num_kv_heads=2, depth=2,
+        max_seq=64, kv_cache="int8", interpret=True,
+    )
+    cfg_d = dataclasses.replace(cfg8, kv_cache="dtype")
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg8)
+    prompt = jnp.asarray(rng.integers(0, 64, (2, 10)))
+    out8 = gpt.generate(params, prompt, steps=6, cfg=cfg8)
+    outd = gpt.generate(params, prompt, steps=6, cfg=cfg_d)
+    assert out8.shape == (2, 16)
+    assert float((out8 == outd).mean()) > 0.9

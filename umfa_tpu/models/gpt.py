@@ -18,7 +18,7 @@ from umfa_tpu.engine.config import QuantizationConfig
 from umfa_tpu.ops.attention import flash_attention
 from umfa_tpu.ops.rope import apply_rope
 from umfa_tpu.serving import decode_attention, init_cache
-from umfa_tpu.serving.kv_cache import append
+from umfa_tpu.serving.kv_cache import append, append_quantized, init_quantized_cache
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,6 +33,10 @@ class GPTConfig:
     rope_base: float = 10000.0
     dtype: str = "float32"
     quantization: Optional[QuantizationConfig] = None
+    # KV cache storage: "bf16"/"fp32" (input dtype) or "int8" (row-wise
+    # symmetric; decode reads 4x fewer KV bytes — the memory-bound regime
+    # where quantization actually wins on TPU, docs/PERFORMANCE.md).
+    kv_cache: str = "dtype"
     interpret: bool = False
 
     @property
@@ -123,6 +127,13 @@ def forward(params: dict, tokens: jax.Array, cfg: GPTConfig) -> jax.Array:
 
 
 def init_caches(cfg: GPTConfig, batch: int):
+    if cfg.kv_cache == "int8":
+        return [
+            init_quantized_cache(
+                batch, cfg.num_kv_heads, cfg.max_seq, cfg.head_dim
+            )
+            for _ in range(cfg.depth)
+        ]
     return [
         init_cache(batch, cfg.num_kv_heads, cfg.max_seq, cfg.head_dim, cfg.jdtype)
         for _ in range(cfg.depth)
@@ -144,7 +155,10 @@ def forward_with_cache(
     new_caches = []
     for block, cache in zip(params["blocks"], caches):
         q, k, v = _qkv(block, x, cfg, positions)
-        cache = append(cache, k, v)
+        if cfg.kv_cache == "int8":
+            cache = append_quantized(cache, k, v)
+        else:
+            cache = append(cache, k, v)
         attn = decode_attention(q, cache, interpret=cfg.interpret)
         new_caches.append(cache)
         x = _block_tail(block, x, attn.astype(x.dtype), cfg)

@@ -34,7 +34,20 @@ def _consume(out):
 def _perturb(x, s):
     """Chain a negligible perturbation into the next iteration's input to
     serialize iterations and defeat loop-invariant hoisting. Works on any
-    pytree (e.g. a params dict): every float leaf gets the epsilon."""
+    pytree (e.g. a params dict): every float leaf gets the epsilon. The
+    FIRST argument to time_op must contain at least one float leaf — an
+    all-integer first arg leaves the loop body iteration-invariant and XLA
+    hoists it entirely (a serving bench once reported 2.3M tok/s this way)."""
+    leaves = [
+        v for v in jax.tree.leaves(x)
+        if jnp.issubdtype(v.dtype, jnp.floating)
+    ]
+    if not leaves:
+        raise ValueError(
+            "time_op: first argument has no float leaves to chain the "
+            "anti-hoisting perturbation through; reorder the op's "
+            "arguments so a float tensor (e.g. params) comes first"
+        )
 
     def leaf(v):
         if jnp.issubdtype(v.dtype, jnp.floating):
