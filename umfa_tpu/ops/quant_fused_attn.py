@@ -536,8 +536,9 @@ def fused_quantize_attend(
     if scale is None:
         scale = head_dim**-0.5
     if smooth_q is None:
-        # This kernel is INT8-only; the measured INT8 default is off (see
-        # QuantizationConfig.effective_smooth_q).
+        # Callers normally pass config.effective_smooth_q(); the bare
+        # default mirrors the INT8 recipe (off — Q-mean compensation costs
+        # one score-tile add per step).
         smooth_q = False
     smooth_q = smooth_q and smooth
     interpret = interpret or jax.default_backend() == "cpu"
