@@ -8,7 +8,7 @@ import pytest
 
 from umfa_tpu.ops.attention import flash_attention, reference_attention
 from umfa_tpu.ops.flash_fwd import flash_attention_forward, BlockSizes
-from umfa_tpu.utils.testing import TOL, make_qkv
+from umfa_tpu.utils.testing import TOL, make_qkv, rel_err
 
 
 @pytest.mark.parametrize("causal", [False, True])
@@ -141,3 +141,34 @@ def test_seq_smaller_than_block(rng):
     out, _ = flash_attention_forward(q, k, v, interpret=True)
     want = reference_attention(q, k, v)
     np.testing.assert_allclose(out, want, **TOL["fp32"])
+
+
+def test_kv_cache_active_shapes(rng):
+    """Shapes with multiple q-blocks exercise the persistent KV VMEM cache
+    (fill-on-first-touch; see _fwd_kernel): parity across dense / causal /
+    window / GQA / bias with the cache engaged."""
+    from umfa_tpu.ops.flash_fwd import flash_attention_forward
+
+    for (hq, hkv, seq, d, causal, win) in [
+        (2, 2, 2048, 64, False, None),
+        (4, 2, 2048, 64, True, None),
+        (2, 2, 1664, 64, True, (512, -1)),
+        (2, 2, 2048, 128, False, (256, 128)),
+    ]:
+        q, k, v = make_qkv(rng, 1, hq, seq, seq, d, kv_heads=hkv)
+        out, lse = flash_attention_forward(
+            q, k, v, causal=causal, window=win, interpret=True
+        )
+        ke = jnp.repeat(k, hq // hkv, 1) if hkv != hq else k
+        ve = jnp.repeat(v, hq // hkv, 1) if hkv != hq else v
+        want = reference_attention(q, ke, ve, causal=causal, window=win)
+        assert rel_err(out, want) < 2e-5, (hq, hkv, seq, d, causal, win)
+
+    # bias + cache
+    q, k, v = make_qkv(rng, 1, 2, 1536, 1536, 64)
+    bias = jnp.asarray(
+        np.random.default_rng(1).normal(0, 1, (1, 1, 1536, 1536)), jnp.float32
+    )
+    out, _ = flash_attention_forward(q, k, v, bias, interpret=True)
+    want = reference_attention(q, k, v, bias)
+    assert rel_err(out, want) < 2e-5

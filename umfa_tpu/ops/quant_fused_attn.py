@@ -44,9 +44,13 @@ heads are "parallel" too when group == 1 (each head fills its own cache)
 but "arbitrary" under GQA (the group shares the leader head's fill).
 
 INT4 operands quantize to the ±7 range in registers (same deq-bf16 cache)
-and nibble-pack their residuals at emission. Falls back (see
-quant_attention._qflash_fwd) for: asymmetric strategy, block-sparse masks,
-odd head_dim INT4, and sequences whose K/V caches exceed the VMEM budget.
+and nibble-pack their residuals at emission. Compiled block masks run
+compacted with a host-built cache-fill schedule (block_mask._fill_schedule:
+hold/fill scalar-prefetch tables — fills happen at each tile's first visit,
+every other step's DMA is elided). Falls back (see
+quant_attention._qflash_fwd) for: asymmetric strategy, odd head_dim INT4,
+per-head masks under GQA, bias_grad with sparse residuals, and sequences
+whose K/V caches exceed the VMEM budget.
 """
 
 from __future__ import annotations
