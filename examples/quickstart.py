@@ -44,6 +44,13 @@ def main():
         out_q4 = umfa_tpu.attention(q, k, v)
     print("int4:", out_q4.shape)
 
+    # FlexAttention-style mask_mod: compiled once into block-sparse
+    # structure with per-mask auto-tuned tiles (SKIP tiles cost neither
+    # compute nor DMA — also under quantization).
+    doc_mask = lambda qi, ki: (qi // 256) == (ki // 256)
+    out_s = umfa_tpu.attention(q, k, v, doc_mask)
+    print("block-sparse (mask_mod):", out_s.shape)
+
     # Training: gradients flow through the fused kernel (FP32, STE for
     # quantized).
     def loss(q):
