@@ -175,3 +175,21 @@ def test_quantized_route_applies_block_mask(rng):
     bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
     want = reference_attention(q, k, v, bias[None, None])
     assert rel_err(out, want) < 0.02
+
+
+def test_byte_mask_is_boolean(rng):
+    """Byte (uint8/int32) masks are boolean-valued (nonzero = attend), like
+    the reference's byte-mask support — not additive bias."""
+    import umfa_tpu
+    from umfa_tpu.ops.attention import reference_attention
+
+    q = jnp.asarray(rng.normal(0, 1, (1, 2, 64, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (1, 2, 64, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (1, 2, 64, 64)), jnp.float32)
+    bool_mask = jnp.asarray(rng.random((1, 1, 64, 64)) > 0.3)
+    byte_mask = bool_mask.astype(jnp.uint8)
+    got = umfa_tpu.attention(q, k, v, byte_mask, interpret=True)
+    want = umfa_tpu.attention(q, k, v, bool_mask, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-6
+    )

@@ -61,8 +61,12 @@ def canonicalize_mask(
             mask, (*mask.shape[:3], seq_k)
         )
 
-    if mask.dtype == jnp.bool_:
-        return jnp.where(mask, 0.0, DEFAULT_MASK_VALUE).astype(jnp.float32)
+    if mask.dtype == jnp.bool_ or jnp.issubdtype(mask.dtype, jnp.integer):
+        # Boolean and byte masks (reference: byte masks are boolean-valued,
+        # MFABridge.swift:366-491): nonzero = attend.
+        return jnp.where(
+            mask != 0, 0.0, DEFAULT_MASK_VALUE
+        ).astype(jnp.float32)
     return mask.astype(jnp.float32)
 
 

@@ -91,46 +91,43 @@ def decode_attention(
 
 def _gemv_decode(q, cache, bias, scale):
     """XLA-fused decode for small Tq: scores materialize at (B,H,Tq,S_max)
-    — tiny for decode — and K/V stream through once."""
-    d = q.shape[-1]
+    — tiny for decode — and K/V stream through once.
+
+    GQA folds the group into the QUERY rows (q reshaped to
+    (B, Hkv, g·Tq, D)) instead of `jnp.repeat`-ing the cache: a repeat
+    materializes group× full-cache copies per step, which at model scale
+    made the int8 cache path SLOWER than dense (r2 serving_bench). K/V
+    stay in their storage dtype; bf16 inputs run 1-pass MXU with FP32
+    accumulation, fp32 inputs keep HIGHEST (repo invariant)."""
+    b, hq, tq, d = q.shape
     if scale is None:
         scale = d**-0.5
-    hq = q.shape[1]
-    if isinstance(cache, QuantizedKVCache):
-        hkv = cache.k_values.shape[1]
-        k = cache.k_values.astype(jnp.bfloat16)
-        v = cache.v_values.astype(jnp.bfloat16)
-        k_scales = cache.k_scales.astype(jnp.float32)  # (B,Hkv,S,1)
-        v_scales = cache.v_scales.astype(jnp.float32)
-    else:
-        hkv = cache.k.shape[1]
-        k, v = cache.k, cache.v
-        k_scales = v_scales = None
-    if hq != hkv:
-        g = hq // hkv
-        k = jnp.repeat(k, g, axis=1)
-        v = jnp.repeat(v, g, axis=1)
-        if k_scales is not None:
-            k_scales = jnp.repeat(k_scales, g, axis=1)
-            v_scales = jnp.repeat(v_scales, g, axis=1)
-    # fp32 inputs must not silently degrade to XLA's 1-pass bf16 matmul
-    # (repo invariant — see flash_fwd's HIGHEST-precision rule).
-    mxu = (
-        jax.lax.Precision.HIGHEST
-        if q.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    quantized = isinstance(cache, QuantizedKVCache)
+    k = cache.k_values if quantized else cache.k
+    v = cache.v_values if quantized else cache.v
+    hkv = k.shape[1]
+    g = hq // hkv
+    qg = q.reshape(b, hkv, g * tq, d)
+    fp32 = q.dtype == jnp.float32
+    mxu = jax.lax.Precision.HIGHEST if fp32 else jax.lax.Precision.DEFAULT
+    cdt = jnp.float32 if fp32 else jnp.bfloat16
     s = jnp.einsum(
-        "bhtd,bhsd->bhts", q.astype(jnp.float32), k.astype(jnp.float32),
-        precision=mxu,
+        "bhtd,bhsd->bhts", qg.astype(cdt), k.astype(cdt),
+        precision=mxu, preferred_element_type=jnp.float32,
     )
-    if k_scales is not None:
-        s = s * k_scales[..., 0][:, :, None, :]  # per-row K scale
-    s = s * scale + bias.astype(jnp.float32)
+    if quantized:
+        s = s * cache.k_scales[..., 0].astype(jnp.float32)[:, :, None, :]
+    # bias rows depend on (b, t): tile over the g query groups (row-major
+    # (g, t) flatten matches jnp.tile's block repeat).
+    bias = bias.astype(jnp.float32)
+    if g > 1 and bias.shape[2] > 1:
+        bias = jnp.tile(bias, (1, 1, g, 1))
+    s = s * scale + bias
     p = jax.nn.softmax(s, axis=-1)
-    if v_scales is not None:
-        p = p * v_scales[..., 0][:, :, None, :]
+    if quantized:
+        p = p * cache.v_scales[..., 0].astype(jnp.float32)[:, :, None, :]
     out = jnp.einsum(
-        "bhts,bhsd->bhtd", p, v.astype(jnp.float32), precision=mxu
+        "bhts,bhsd->bhtd", p.astype(cdt), v.astype(cdt),
+        precision=mxu, preferred_element_type=jnp.float32,
     )
-    return out.astype(q.dtype)
+    return out.reshape(b, hq, tq, d).astype(q.dtype)
