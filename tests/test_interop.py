@@ -94,3 +94,17 @@ def test_install_torch_sdpa_gqa():
             F.scaled_dot_product_attention(q, k, v)
     finally:
         uninstall()
+
+
+def test_use_torch_sdpa_context_manager():
+    from umfa_tpu.utils.interop import use_torch_sdpa
+
+    F = torch.nn.functional
+    native = F.scaled_dot_product_attention
+    q = torch.randn(1, 2, 64, 64)
+    want = F.scaled_dot_product_attention(q, q, q, is_causal=True)
+    with use_torch_sdpa():
+        assert getattr(F.scaled_dot_product_attention, "_umfa_override", False)
+        out = F.scaled_dot_product_attention(q, q, q, is_causal=True)
+    assert F.scaled_dot_product_attention is native
+    np.testing.assert_allclose(out.numpy(), want.numpy(), atol=1e-4, rtol=1e-4)

@@ -95,6 +95,23 @@ def install_torch_sdpa():
     return uninstall
 
 
+class use_torch_sdpa:
+    """Context manager scoping the SDPA override (the reference's
+    `use_metal_sdpa()`, pytorch_custom_op_ffi/backend.py):
+
+        with use_torch_sdpa():
+            out = F.scaled_dot_product_attention(q, k, v)  # runs on TPU
+    """
+
+    def __enter__(self):
+        self._uninstall = install_torch_sdpa()
+        return self
+
+    def __exit__(self, *exc):
+        self._uninstall()
+        return False
+
+
 def torch_sdpa(q, k, v, attn_mask=None, is_causal=False, scale=None, **kwargs):
     """torch-tensor-shaped SDPA entry: accepts torch tensors, runs the fused
     TPU kernels, returns a torch tensor. The role of the reference's
