@@ -1,24 +1,234 @@
-"""Headline benchmark (driver-run on real TPU).
+"""Headline benchmark (driver-run on real TPU) — outage-hardened orchestrator.
 
-North star (BASELINE.json): INT8 block/row-wise fused flash attention vs
-BF16 XLA SDPA at seq 4K — target ≥ 1.3× throughput with accuracy within the
-reference envelope. Prints ONE JSON line on stdout; details on stderr.
+North star (BASELINE.json): INT8 row-wise fused flash attention vs BF16 XLA
+SDPA at seq 4K — target >= 1.3x throughput with accuracy within the reference
+envelope. Prints ONE JSON headline line on stdout; details on stderr.
+
+Design (round 3): the TPU relay has multi-hour outages during which backend
+init HANGS (not errors). So the orchestrator never touches jax itself:
+it probes the backend in a bounded-timeout subprocess (with retry), then runs
+each measurement stage in its own fresh subprocess (measurement discipline:
+one process per comparison — same-process ordering produced phantom numbers
+in round 2). A stage that dies or times out yields a structured error record
+instead of killing the run; on total outage the headline line is
+`{"error": "tpu_unavailable", ...}` with rc=0 so the driver can distinguish
+outage from crash. Reference anchor for benchmark-artifact discipline:
+reference .github/workflows/ci.yml:199-206 (bench JSON as CI artifact).
+
+Stages (each `python bench.py --stage NAME --out FILE`):
+  probe    backend init only
+  core     bf16 XLA SDPA / fused / int8 / int4 at S=4K + accuracy
+  train    dense vs int8 vs int4 training step (fwd+bwd)
+  flux     D=128 FLUX-geometry profile
+  masks    causal / sliding-window / block-sparse doc mask
+  serving  model-level GPT decode tokens/s, dense vs int8 KV cache
 """
 
+import argparse
 import json
 import os
+import subprocess
 import sys
+import tempfile
+import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+HEADLINE_METRIC = "int8_fused_attn_speedup_vs_bf16_xla_sdpa_seq4k"
+BASELINE_X = 1.3  # BASELINE.json target
+
+# Stage order = priority order: if the global deadline runs out, later
+# stages are skipped but everything already measured is still reported.
+STAGES = ["core", "train", "flux", "masks", "serving"]
+STAGE_TIMEOUT_S = {
+    # Worst case ~1-4 min Mosaic compile per new kernel shape per process.
+    "core": 1500,
+    "train": 1200,
+    "flux": 900,
+    "masks": 1500,
+    "serving": 900,
+}
+PROBE_TIMEOUT_S = 300
+PROBE_ATTEMPTS = 2
 
 
-def main():
-    from umfa_tpu.engine.config import Precision, QuantizationConfig, QuantMode
-    from umfa_tpu.ops.attention import flash_attention
+def _note(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+# --------------------------------------------------------------------------
+# Orchestrator
+# --------------------------------------------------------------------------
+
+
+def _run_stage(stage, timeout_s, force_cpu):
+    """Run one stage in a fresh subprocess; return (dict_or_None, err_or_None)."""
+    with tempfile.NamedTemporaryFile(
+        mode="r", suffix=".json", prefix=f"bench_{stage}_", delete=False
+    ) as f:
+        out_path = f.name
+    cmd = [sys.executable, "-u", os.path.abspath(__file__), "--stage", stage,
+           "--out", out_path]
+    if force_cpu:
+        cmd.append("--cpu")
+    _note(f"stage {stage}: launching (timeout {timeout_s}s)")
+    t0 = time.time()
+    try:
+        proc = subprocess.run(cmd, timeout=timeout_s, stdout=sys.stderr)
+    except subprocess.TimeoutExpired:
+        _note(f"stage {stage}: TIMEOUT after {timeout_s}s")
+        return None, "timeout"
+    dt = time.time() - t0
+    if proc.returncode != 0:
+        _note(f"stage {stage}: rc={proc.returncode} after {dt:.0f}s")
+        return None, f"rc={proc.returncode}"
+    try:
+        with open(out_path) as f:
+            result = json.load(f)
+    except Exception as e:  # noqa: BLE001
+        return None, f"unreadable_output: {e}"
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+    _note(f"stage {stage}: done in {dt:.0f}s")
+    return result, None
+
+
+def _emit_headline(value, extra=None, error=None):
+    line = {
+        "metric": HEADLINE_METRIC,
+        "value": round(value, 4) if value else 0.0,
+        "unit": "x",
+        "vs_baseline": round(value / BASELINE_X, 4) if value else 0.0,
+    }
+    if error:
+        line["error"] = error
+    if extra:
+        line["extra"] = extra
+    print(json.dumps(line), flush=True)
+
+
+def orchestrate():
+    force_cpu = os.environ.get("UMFA_BENCH_FORCE_CPU") == "1"
+    deadline = time.time() + float(os.environ.get("UMFA_BENCH_DEADLINE_S", "3600"))
+
+    # --- probe: bounded-timeout backend init with retry --------------------
+    backend = None
+    if force_cpu:
+        backend = "cpu"
+    else:
+        for attempt in range(1, PROBE_ATTEMPTS + 1):
+            res, err = _run_stage("probe", PROBE_TIMEOUT_S, force_cpu)
+            if res is not None:
+                backend = res.get("backend")
+                _note(f"probe: backend={backend} devices={res.get('n_devices')}")
+                break
+            _note(f"probe attempt {attempt}/{PROBE_ATTEMPTS} failed: {err}")
+            if attempt < PROBE_ATTEMPTS:
+                time.sleep(20)
+    if backend is None:
+        _note("TPU backend unavailable (relay outage) — emitting structured record")
+        _emit_headline(None, error="tpu_unavailable")
+        return
+
+    # --- stages -------------------------------------------------------------
+    results = {"backend": backend}
+    for stage in STAGES:
+        remaining = deadline - time.time()
+        if remaining < 120:
+            results[stage] = {"error": "skipped_deadline"}
+            _note(f"stage {stage}: skipped (deadline)")
+            continue
+        timeout_s = min(STAGE_TIMEOUT_S[stage], int(remaining))
+        res, err = _run_stage(stage, timeout_s, force_cpu)
+        results[stage] = res if res is not None else {"error": err}
+        if stage == "core" and res is not None:
+            # Early headline: if a later stage (or the driver's own timeout)
+            # kills the run, stdout already carries a parseable line.
+            sp = res["bf16_xla_sdpa"]["ms"] / res["int8_fused"]["ms"]
+            _emit_headline(sp)
+
+    print(json.dumps(results, indent=2), file=sys.stderr, flush=True)
+
+    core = results.get("core", {})
+    if "error" in core or "bf16_xla_sdpa" not in core:
+        _emit_headline(None, error=f"core_stage_failed: {core.get('error')}",
+                       extra=_extras(results))
+        return
+    speedup = core["bf16_xla_sdpa"]["ms"] / core["int8_fused"]["ms"]
+    _emit_headline(speedup, extra=_extras(results))
+
+
+def _extras(results):
+    """Flatten the full round claim set into the headline line."""
+
+    def g(*path, default=None):
+        cur = results
+        for p in path:
+            if not isinstance(cur, dict) or p not in cur:
+                return default
+            cur = cur[p]
+        return round(cur, 4) if isinstance(cur, float) else cur
+
+    return {
+        "bf16_sdpa_ms": g("core", "bf16_xla_sdpa", "ms"),
+        "bf16_fused_ms": g("core", "bf16_fused", "ms"),
+        "int8_ms": g("core", "int8_fused", "ms"),
+        "int8_relerr": g("core", "int8_fused", "relerr_iid"),
+        "int4_ms": g("core", "int4_fused", "ms"),
+        "int4_relerr_iid": g("core", "int4_fused", "relerr_iid"),
+        "int4_relerr_struct": g("core", "int4_fused", "relerr_struct"),
+        "causal_ms": g("masks", "causal", "ms"),
+        "window_ms": g("masks", "window", "ms"),
+        "sparse_speedup": g("masks", "doc_mask", "speedup_vs_dense"),
+        "train_dense_ms": g("train", "dense", "ms"),
+        "train_int8_ms": g("train", "int8", "ms"),
+        "train_int4_ms": g("train", "int4", "ms"),
+        "flux_bf16_ms": g("flux", "bf16_fused", "ms"),
+        "flux_int8_ms": g("flux", "int8_fused", "ms"),
+        "serving_int8_speedup": g("serving", "int8", "speedup_vs_dense_cache"),
+    }
+
+
+# --------------------------------------------------------------------------
+# Worker stages (fresh process each)
+# --------------------------------------------------------------------------
+
+
+def _setup_worker(cpu):
+    if cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax  # noqa: F811
+
+    return jax
+
+
+def _rand_qkv(rng, shape, dtype):
+    import jax.numpy as jnp
+
+    return tuple(jnp.asarray(rng.normal(0, 1, shape), dtype) for _ in range(3))
+
+
+def stage_probe(cpu):
+    jax = _setup_worker(cpu)
+    return {"backend": jax.default_backend(), "n_devices": len(jax.devices())}
+
+
+def stage_core(cpu):
+    jax = _setup_worker(cpu)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from umfa_tpu.engine.config import (
+        Precision, QuantizationConfig, QuantMode, QuantStrategy,
+    )
+    from umfa_tpu.ops.attention import flash_attention, reference_attention
+    from umfa_tpu.ops.quant import dequantize, quantize
     from umfa_tpu.ops.quant_attention import quantized_flash_attention
     from umfa_tpu.utils.timing import time_op
 
@@ -26,11 +236,8 @@ def main():
     B, H, S, D = (1, 2, 256, 64) if on_cpu else (2, 16, 4096, 64)
     dtype = jnp.bfloat16
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(0, 1, (B, H, S, D)), dtype)
-    k = jnp.asarray(rng.normal(0, 1, (B, H, S, D)), dtype)
-    v = jnp.asarray(rng.normal(0, 1, (B, H, S, D)), dtype)
+    q, k, v = _rand_qkv(rng, (B, H, S, D), dtype)
     flops = 4 * B * H * S * S * D  # fwd, non-causal
-
     scale = D**-0.5
 
     @jax.jit
@@ -51,48 +258,37 @@ def main():
     )
     # Default INT4 recipe: Q/K int4 + Hadamard (in-kernel), V int8.
     cfg4 = QuantizationConfig.from_mode_string("int4")
-    int4 = jax.jit(
-        lambda q, k, v: quantized_flash_attention(q, k, v, config=cfg4)
-    )
-
-    import time as _time
-
-    def _note(msg):
-        print(f"[bench {_time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+    int4 = jax.jit(lambda q, k, v: quantized_flash_attention(q, k, v, config=cfg4))
 
     iters = 8 if on_cpu else 64
-    _note("timing bf16 XLA SDPA")
+    _note("core: timing bf16 XLA SDPA")
     t_sdpa = time_op(xla_sdpa, q, k, v, iters=iters)
-    _note("timing bf16 fused")
+    _note("core: timing bf16 fused")
     t_fused = time_op(fused, q, k, v, iters=iters)
-    _note("timing int8 fused")
+    _note("core: timing int8 fused")
     t_int8 = time_op(int8, q, k, v, iters=iters)
-    _note("timing int4 fused")
+    _note("core: timing int4 fused")
     t_int4 = time_op(int4, q, k, v, iters=iters)
-    _note("timings done")
 
     # Accuracy vs FP32 reference on the same inputs.
-    from umfa_tpu.ops.attention import reference_attention
-
     want = np.asarray(
         reference_attention(
             q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
         )
     )
 
-    def relerr(x):
+    def relerr(x, ref):
         x = np.asarray(x, np.float32)
-        return float(np.linalg.norm(x - want) / np.linalg.norm(want))
+        return float(np.linalg.norm(x - ref) / np.linalg.norm(ref))
 
-    err8 = relerr(int8(q, k, v))
-    err4 = relerr(int4(q, k, v))
-    errb = relerr(fused(q, k, v))
+    err8 = relerr(int8(q, k, v), want)
+    err4 = relerr(int4(q, k, v), want)
+    errb = relerr(fused(q, k, v), want)
 
     # Structured-input accuracy (LLM-activation-like: channel outliers +
-    # moderately peaked softmax). The i.i.d. Gaussian case above is the
-    # worst case for 4-bit score noise; the reference's "INT4 ≈ 2%" anchors
-    # the QUANTIZER round-trip ("error introduced by the quantisers",
-    # PERFORMANCE_RESULTS.md:47-52), reported separately below.
+    # moderately peaked softmax). The i.i.d. Gaussian case above is the worst
+    # case for 4-bit score noise; the reference's "INT4 ~ 2%" anchors the
+    # QUANTIZER round-trip (reference PERFORMANCE_RESULTS.md:47-52).
     sr = np.random.default_rng(1)
     qs_np = sr.normal(0, 1, (B, H, S, D))
     ks_np = sr.normal(0, 1, (B, H, S, D))
@@ -111,17 +307,8 @@ def main():
             qs.astype(jnp.float32), ks.astype(jnp.float32), vs.astype(jnp.float32)
         )
     )
-
-    def relerr_s(x):
-        x = np.asarray(x, np.float32)
-        return float(np.linalg.norm(x - want_s) / np.linalg.norm(want_s))
-
-    err8_s = relerr_s(int8(qs, ks, vs))
-    err4_s = relerr_s(int4(qs, ks, vs))
-
-    # Quantizer-level round-trip error (the reference's accuracy metric).
-    from umfa_tpu.engine.config import QuantStrategy
-    from umfa_tpu.ops.quant import dequantize, quantize
+    err8_s = relerr(int8(qs, ks, vs), want_s)
+    err4_s = relerr(int4(qs, ks, vs), want_s)
 
     def roundtrip_relerr(x, prec):
         qt = quantize(x, prec, QuantMode.ROW, QuantStrategy.SYMMETRIC)
@@ -130,64 +317,253 @@ def main():
         return float(np.linalg.norm(xr - xf) / np.linalg.norm(xf))
 
     uni = jnp.asarray(rng.uniform(-1, 1, (1, 1, 1024, 64)), jnp.float32)
-    rt8 = roundtrip_relerr(uni, Precision.INT8)
-    rt4 = roundtrip_relerr(uni, Precision.INT4)
 
-    # D=128 profile (FLUX head dim): at D=64 the kernel is VPU-softmax-bound
-    # and int8's 2x-MXU QK buys little; at D=128 the MXU share doubles.
-    d128 = {}
-    if not on_cpu:
-        B2, H2, S2, D2 = 1, 24, 4608, 128
-        _note("timing D=128 profile")
-        q2 = jnp.asarray(rng.normal(0, 1, (B2, H2, S2, D2)), dtype)
-        k2 = jnp.asarray(rng.normal(0, 1, (B2, H2, S2, D2)), dtype)
-        v2 = jnp.asarray(rng.normal(0, 1, (B2, H2, S2, D2)), dtype)
-        flops2 = 4 * B2 * H2 * S2 * S2 * D2
-        t2_f = time_op(fused, q2, k2, v2, iters=32)
-        t2_8 = time_op(int8, q2, k2, v2, iters=32)
-        d128 = {
-            "shape": [B2, H2, S2, D2],
-            "bf16_fused": {"ms": t2_f * 1e3, "tflops": flops2 / t2_f / 1e12},
-            "int8_fused": {
-                "ms": t2_8 * 1e3,
-                "tflops": flops2 / t2_8 / 1e12,
-                "speedup_vs_bf16_fused": t2_f / t2_8,
-            },
-        }
-        _note("D=128 done")
-
-    def tflops(t):
+    def tf(t):
         return flops / t / 1e12
 
-    details = {
+    return {
         "shape": [B, H, S, D],
-        "bf16_xla_sdpa": {"ms": t_sdpa * 1e3, "tflops": tflops(t_sdpa)},
-        "bf16_fused": {"ms": t_fused * 1e3, "tflops": tflops(t_fused), "relerr": errb},
+        "bf16_xla_sdpa": {"ms": t_sdpa * 1e3, "tflops": tf(t_sdpa)},
+        "bf16_fused": {"ms": t_fused * 1e3, "tflops": tf(t_fused), "relerr": errb},
         "int8_fused": {
-            "ms": t_int8 * 1e3, "tflops": tflops(t_int8),
+            "ms": t_int8 * 1e3, "tflops": tf(t_int8),
             "relerr_iid": err8, "relerr_struct": err8_s,
         },
         "int4_fused": {
-            "ms": t_int4 * 1e3, "tflops": tflops(t_int4),
+            "ms": t_int4 * 1e3, "tflops": tf(t_int4),
             "relerr_iid": err4, "relerr_struct": err4_s,
         },
-        "quantizer_roundtrip_relerr": {"int8": rt8, "int4": rt4},
-        "d128_flux_profile": d128,
-        "backend": jax.default_backend(),
+        "quantizer_roundtrip_relerr": {
+            "int8": roundtrip_relerr(uni, Precision.INT8),
+            "int4": roundtrip_relerr(uni, Precision.INT4),
+        },
     }
-    print(json.dumps(details, indent=2), file=sys.stderr)
 
-    speedup = t_sdpa / t_int8
-    print(
-        json.dumps(
-            {
-                "metric": "int8_fused_attn_speedup_vs_bf16_xla_sdpa_seq4k",
-                "value": round(speedup, 4),
-                "unit": "x",
-                "vs_baseline": round(speedup / 1.3, 4),
-            }
-        )
+
+def stage_train(cpu):
+    jax = _setup_worker(cpu)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from umfa_tpu.engine.config import Precision, QuantizationConfig, QuantMode
+    from umfa_tpu.ops.attention import flash_attention
+    from umfa_tpu.ops.quant_attention import quantized_flash_attention
+    from umfa_tpu.utils.timing import attention_flops, time_op
+
+    on_cpu = jax.default_backend() == "cpu"
+    B, H, S, D = (1, 2, 256, 64) if on_cpu else (1, 8, 4096, 64)
+    rng = np.random.default_rng(0)
+    q, k, v = _rand_qkv(rng, (B, H, S, D), jnp.bfloat16)
+    flops = attention_flops(B, H, S, S, D, backward=True)
+
+    def step(fn):
+        def f(q, k, v):
+            return jax.grad(
+                lambda q: jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
+            )(q)
+
+        return f
+
+    cfg8 = QuantizationConfig()
+    cfg4 = QuantizationConfig.from_mode_string("int4")
+    iters = 2 if on_cpu else 16
+    out = {}
+    for name, fn in (
+        ("dense", lambda q, k, v: flash_attention(q, k, v)),
+        ("int8", lambda q, k, v: quantized_flash_attention(q, k, v, config=cfg8)),
+        ("int4", lambda q, k, v: quantized_flash_attention(q, k, v, config=cfg4)),
+    ):
+        _note(f"train: timing {name} step")
+        t = time_op(step(fn), q, k, v, iters=iters)
+        out[name] = {"ms": t * 1e3, "tflops": flops / t / 1e12}
+    out["int8"]["speedup_vs_dense"] = out["dense"]["ms"] / out["int8"]["ms"]
+    qkv = 3 * B * H * S * D
+    out["residual_bytes_ratio"] = {
+        "int8": (qkv + 3 * B * H * S * 4) / (qkv * 2),
+        "int4": (qkv // 2 + 3 * B * H * S * 4) / (qkv * 2),
+    }
+    return out
+
+
+def stage_flux(cpu):
+    jax = _setup_worker(cpu)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from umfa_tpu.engine.config import Precision, QuantizationConfig, QuantMode
+    from umfa_tpu.ops.attention import flash_attention
+    from umfa_tpu.ops.quant_attention import quantized_flash_attention
+    from umfa_tpu.utils.timing import time_op
+
+    on_cpu = jax.default_backend() == "cpu"
+    B, H, S, D = (1, 2, 128, 128) if on_cpu else (1, 24, 4608, 128)
+    rng = np.random.default_rng(0)
+    q, k, v = _rand_qkv(rng, (B, H, S, D), jnp.bfloat16)
+    flops = 4 * B * H * S * S * D
+
+    fused = jax.jit(lambda q, k, v: flash_attention(q, k, v))
+    cfg8 = QuantizationConfig()
+    int8 = jax.jit(
+        lambda q, k, v: quantized_flash_attention(q, k, v, config=cfg8)
     )
+    iters = 2 if on_cpu else 32
+    _note("flux: timing bf16 fused (D=128)")
+    t_f = time_op(fused, q, k, v, iters=iters)
+    _note("flux: timing int8 fused (D=128)")
+    t_8 = time_op(int8, q, k, v, iters=iters)
+    return {
+        "shape": [B, H, S, D],
+        "bf16_fused": {"ms": t_f * 1e3, "tflops": flops / t_f / 1e12},
+        "int8_fused": {
+            "ms": t_8 * 1e3, "tflops": flops / t_8 / 1e12,
+            "speedup_vs_bf16_fused": t_f / t_8,
+        },
+    }
+
+
+def stage_masks(cpu):
+    jax = _setup_worker(cpu)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from umfa_tpu.ops.attention import flash_attention
+    from umfa_tpu.ops.block_mask import segment_block_mask
+    from umfa_tpu.utils.timing import time_op
+
+    on_cpu = jax.default_backend() == "cpu"
+    B, H, S, D = (1, 2, 256, 64) if on_cpu else (2, 16, 4096, 64)
+    rng = np.random.default_rng(0)
+    q, k, v = _rand_qkv(rng, (B, H, S, D), jnp.bfloat16)
+    iters = 4 if on_cpu else 64
+
+    dense = jax.jit(lambda q, k, v: flash_attention(q, k, v))
+    causal = jax.jit(lambda q, k, v: flash_attention(q, k, v, causal=True))
+    win = 128 if on_cpu else 256
+    window = jax.jit(lambda q, k, v: flash_attention(q, k, v, window=(win, 0)))
+    # 87.5%-sparse document mask: 8 equal segments, block-diagonal.
+    seg = jnp.repeat(jnp.arange(8), S // 8)[None, :]  # (1, S) segment ids
+    bm = segment_block_mask(seg)
+    sparse = jax.jit(lambda q, k, v: flash_attention(q, k, v, block_mask=bm))
+
+    _note("masks: timing dense")
+    t_d = time_op(dense, q, k, v, iters=iters)
+    _note("masks: timing causal")
+    t_c = time_op(causal, q, k, v, iters=iters)
+    _note("masks: timing window")
+    t_w = time_op(window, q, k, v, iters=iters)
+    _note("masks: timing 87.5%-sparse doc mask")
+    t_s = time_op(sparse, q, k, v, iters=iters)
+
+    flops = 4 * B * H * S * S * D
+    return {
+        "shape": [B, H, S, D],
+        "dense": {"ms": t_d * 1e3},
+        "causal": {
+            "ms": t_c * 1e3,
+            # visible-element TFLOP/s and fraction of dense per-tile rate
+            "tflops_visible": flops / 2 / t_c / 1e12,
+            "per_tile_efficiency_vs_dense": (t_d / 2) / t_c,
+        },
+        "window": {"ms": t_w * 1e3, "window": [win, 0],
+                   "speedup_vs_dense": t_d / t_w},
+        "doc_mask": {"ms": t_s * 1e3, "sparsity": 0.875,
+                     "speedup_vs_dense": t_d / t_s},
+    }
+
+
+def stage_serving(cpu):
+    jax = _setup_worker(cpu)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from umfa_tpu.models import gpt
+    from umfa_tpu.utils.timing import time_op
+
+    on_cpu = jax.default_backend() == "cpu"
+    rng = np.random.default_rng(0)
+    if on_cpu:
+        dim, heads, kv_heads, depth, batch, ctx = 256, 4, 2, 2, 2, 128
+    else:
+        dim, heads, kv_heads, depth, batch, ctx = 1024, 16, 8, 8, 8, 4096
+
+    results = {}
+    for cache_kind in ("dtype", "int8"):
+        cfg = gpt.GPTConfig(
+            vocab=32768 if not on_cpu else 128,
+            dim=dim, num_heads=heads, num_kv_heads=kv_heads, depth=depth,
+            max_seq=ctx, dtype="bfloat16" if not on_cpu else "float32",
+            kv_cache=cache_kind, interpret=on_cpu,
+        )
+        params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+        caches = gpt.init_caches(cfg, batch)
+        prompt = jnp.asarray(
+            rng.integers(0, cfg.vocab, (batch, ctx - 64)), jnp.int32
+        )
+        _, caches = jax.jit(
+            lambda p, t, c: gpt.forward_with_cache(p, t, c, cfg)
+        )(params, prompt, caches)
+        tok = jnp.asarray(rng.integers(0, cfg.vocab, (batch, 1)), jnp.int32)
+
+        # Inner decode loop so cache appends update in place under XLA
+        # aliasing (flat per-step calls copy-on-write the full cache).
+        CHUNK = 2 if on_cpu else 8
+
+        def decode_chunk(params, tok, caches, cfg=cfg):
+            def body(i, carry):
+                tok, caches = carry
+                logits, caches = gpt.forward_with_cache(params, tok, caches, cfg)
+                return (
+                    jnp.argmax(logits[:, -1:], axis=-1).astype(tok.dtype),
+                    caches,
+                )
+
+            tok, caches = jax.lax.fori_loop(0, CHUNK, body, (tok, caches))
+            return tok, caches
+
+        iters = 2 if on_cpu else 16
+        _note(f"serving: timing decode ({cache_kind} cache)")
+        t = time_op(decode_chunk, params, tok, caches, iters=iters) / CHUNK
+        results[cache_kind] = {
+            "decode_step_ms": t * 1e3,
+            "tokens_per_s": batch / t,
+        }
+    results["int8"]["speedup_vs_dense_cache"] = (
+        results["dtype"]["decode_step_ms"] / results["int8"]["decode_step_ms"]
+    )
+    results["config"] = dict(
+        dim=dim, heads=heads, kv_heads=kv_heads, depth=depth,
+        batch=batch, ctx=ctx,
+    )
+    return results
+
+
+STAGE_FNS = {
+    "probe": stage_probe,
+    "core": stage_core,
+    "train": stage_train,
+    "flux": stage_flux,
+    "masks": stage_masks,
+    "serving": stage_serving,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", choices=sorted(STAGE_FNS), default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.stage is None:
+        orchestrate()
+        return
+
+    result = STAGE_FNS[args.stage](args.cpu)
+    payload = json.dumps(result, indent=2)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(payload)
+    print(payload, file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
