@@ -61,8 +61,14 @@ def test_install_torch_sdpa_override():
     uninstall = install_torch_sdpa()
     try:
         assert getattr(F.scaled_dot_product_attention, "_umfa_override", False)
-        # Reentrant: second install is a no-op.
-        assert install_torch_sdpa() is uninstall
+        # Refcounted: a second install keeps the override; releasing it does
+        # not tear down the first install's scope.
+        uninstall2 = install_torch_sdpa()
+        uninstall2()
+        assert getattr(F.scaled_dot_product_attention, "_umfa_override", False)
+        # Double-release of the same handle is a no-op (single-shot).
+        uninstall2()
+        assert getattr(F.scaled_dot_product_attention, "_umfa_override", False)
         out = F.scaled_dot_product_attention(q, k, v, is_causal=True)
         np.testing.assert_allclose(
             out.numpy(), want.numpy(), atol=1e-4, rtol=1e-4
@@ -108,3 +114,27 @@ def test_use_torch_sdpa_context_manager():
         out = F.scaled_dot_product_attention(q, q, q, is_causal=True)
     assert F.scaled_dot_product_attention is native
     np.testing.assert_allclose(out.numpy(), want.numpy(), atol=1e-4, rtol=1e-4)
+
+
+def test_use_torch_sdpa_nesting_safe():
+    """An inner scope exiting must NOT uninstall the outer scope's override
+    (round-2 bug: install_torch_sdpa returned the same uninstaller when
+    already installed, so the inner __exit__ tore down the outer scope)."""
+    from umfa_tpu.utils.interop import install_torch_sdpa, use_torch_sdpa
+
+    F = torch.nn.functional
+    native = F.scaled_dot_product_attention
+    with use_torch_sdpa():
+        with use_torch_sdpa():
+            assert getattr(F.scaled_dot_product_attention, "_umfa_override", False)
+        # Inner exited; outer scope must still be overridden.
+        assert getattr(F.scaled_dot_product_attention, "_umfa_override", False)
+    assert F.scaled_dot_product_attention is native
+
+    # Explicit install + nested context manager.
+    uninstall = install_torch_sdpa()
+    with use_torch_sdpa():
+        pass
+    assert getattr(F.scaled_dot_product_attention, "_umfa_override", False)
+    uninstall()
+    assert F.scaled_dot_product_attention is native

@@ -145,3 +145,34 @@ def test_fused_row_quantizer_no_mean(rng):
     qt_4 = quantize_rows_fused(x, None, precision=Precision.INT4, interpret=True)
     vals = np.asarray(unpack_int4(qt_4.values))
     assert vals.min() >= -8 and vals.max() <= 7
+
+
+def test_hybrid_warns_once_under_trace(rng):
+    """HYBRID degrades to ROW under jit tracing (data is abstract); it must
+    warn ONCE instead of silently pinning ROW in jitted training loops."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+    from umfa_tpu.ops import quant as quant_mod
+    from umfa_tpu.ops.quant import choose_mode
+    from umfa_tpu.engine.config import QuantMode
+
+    x = jnp.asarray(rng.normal(0, 1, (1, 2, 64, 64)), jnp.float32)
+
+    # Eager: concrete data, no warning, mode picked from statistics.
+    quant_mod._hybrid_trace_warned = False
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert choose_mode(x) in (QuantMode.TENSOR, QuantMode.ROW, QuantMode.BLOCK)
+
+    # Traced: warns exactly once across repeated traces.
+    quant_mod._hybrid_trace_warned = False
+    modes = []
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        for _ in range(2):
+            jax.make_jaxpr(lambda x: (modes.append(choose_mode(x)), x)[1])(x)
+    assert modes == [QuantMode.ROW, QuantMode.ROW]
+    hybrid_warnings = [w for w in caught if "HYBRID" in str(w.message)]
+    assert len(hybrid_warnings) == 1

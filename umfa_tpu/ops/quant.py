@@ -32,12 +32,15 @@ permutation (unlike the reference, which packs on CPU: SURVEY.md §7.3).
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from umfa_tpu.engine.config import Precision, QuantMode, QuantStrategy
+
+_hybrid_trace_warned = False
 
 
 @jax.tree_util.register_pytree_node_class
@@ -127,8 +130,20 @@ def choose_mode(x: jax.Array, block_size: int = 64) -> QuantMode:
     range varies strongly."""
     absmax_rows = jnp.max(jnp.abs(x), axis=-1)
     ratio = jnp.max(absmax_rows) / jnp.maximum(jnp.mean(absmax_rows), 1e-12)
-    # Static heuristic requires concrete values; under trace default to ROW.
+    # Static heuristic requires concrete values; under trace (jit/grad) the
+    # data is abstract, so HYBRID degrades to ROW. Warn once — in a jitted
+    # training loop this means HYBRID is effectively ROW, which is usually
+    # fine (ROW is the default) but should not be silent.
     if isinstance(ratio, jax.core.Tracer):
+        global _hybrid_trace_warned
+        if not _hybrid_trace_warned:
+            _hybrid_trace_warned = True
+            warnings.warn(
+                "HYBRID quantization granularity cannot inspect data under "
+                "jit/grad tracing; falling back to ROW scales. Pass an "
+                "explicit mode= (ROW/BLOCK/TENSOR) to silence this.",
+                stacklevel=2,
+            )
         return QuantMode.ROW
     r = float(ratio)
     if r < 2.0:

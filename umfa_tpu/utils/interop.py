@@ -45,6 +45,13 @@ def to_torch(x: jax.Array):
         return torch.from_numpy(np.asarray(jax.device_get(x)))
 
 
+# Refcount for nested installs: the override is removed only when the LAST
+# outstanding uninstaller runs, so an inner `with use_torch_sdpa():` cannot
+# tear down an outer scope's override.
+_sdpa_install_count = 0
+_sdpa_native = None
+
+
 def install_torch_sdpa():
     """Install a process-wide override of
     `torch.nn.functional.scaled_dot_product_attention` that routes through
@@ -54,16 +61,38 @@ def install_torch_sdpa():
     torch here is CPU-only, so models run through torch end-to-end get
     their attention offloaded to the TPU; everything else stays in torch.
 
-    Returns an `uninstall()` callable restoring the original. Reentrant:
-    a second install is a no-op returning the same uninstaller.
+    Returns an `uninstall()` callable. Installs are refcounted: each call
+    returns a single-shot uninstaller, and the native SDPA is restored only
+    when every outstanding uninstaller has run — nesting-safe.
     """
+    global _sdpa_install_count, _sdpa_native
     import torch
     import torch.nn.functional as F
 
-    if getattr(F.scaled_dot_product_attention, "_umfa_override", False):
-        return F.scaled_dot_product_attention._umfa_uninstall
+    _sdpa_install_count += 1
+
+    def make_uninstall():
+        done = False
+
+        def uninstall():
+            nonlocal done
+            global _sdpa_install_count, _sdpa_native
+            if done:
+                return
+            done = True
+            _sdpa_install_count -= 1
+            if _sdpa_install_count == 0 and _sdpa_native is not None:
+                F.scaled_dot_product_attention = _sdpa_native
+                torch.nn.functional.scaled_dot_product_attention = _sdpa_native
+                _sdpa_native = None
+
+        return uninstall
+
+    if _sdpa_install_count > 1:
+        return make_uninstall()
 
     native = F.scaled_dot_product_attention
+    _sdpa_native = native
 
     def sdpa(query, key, value, attn_mask=None, dropout_p=0.0,
              is_causal=False, scale=None, enable_gqa=False):
@@ -84,15 +113,9 @@ def install_torch_sdpa():
                           is_causal=is_causal, scale=scale)
 
     sdpa._umfa_override = True
-
-    def uninstall():
-        F.scaled_dot_product_attention = native
-        torch.nn.functional.scaled_dot_product_attention = native
-
-    sdpa._umfa_uninstall = uninstall
     F.scaled_dot_product_attention = sdpa
     torch.nn.functional.scaled_dot_product_attention = sdpa
-    return uninstall
+    return make_uninstall()
 
 
 class use_torch_sdpa:
