@@ -243,3 +243,63 @@ def test_auto_tile_end_to_end():
     want = reference_attention(q, k, v, bias)
     rel = float(jnp.linalg.norm(out - want) / jnp.linalg.norm(want))
     assert rel < 1e-5, rel
+
+
+def test_window_auto_tiled_structure():
+    """Plain window= calls compile an analytic tile structure (no O(S^2)
+    element mask, bias=None); wide windows stay on the default walk."""
+    from umfa_tpu.ops.block_mask import maybe_window_block_mask
+
+    bm = maybe_window_block_mask(4096, 4096, (256, 0), False, 64)
+    assert bm is not None
+    assert bm.bias is None  # intra-tile masking stays in-kernel index math
+    assert bm.fetch_kv is not None and bm.hold_kv is not None
+    # The band should pick small tiles and skip most of the grid.
+    assert bm.block_k <= 1024
+    assert float(bm.sparsity) > 0.5
+    # The analytic tile map matches the element-mask compiler's map.
+    ref = sliding_window_block_mask(
+        4096, 4096, 256, 0,
+        block_sizes=BlockSizes(block_q=bm.block_q, block_k=bm.block_k),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bm.block_map), np.asarray(ref.block_map)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bm.fetch_kv), np.asarray(ref.fetch_kv)
+    )
+
+    # Wide window: no predicted win -> default path (None).
+    assert maybe_window_block_mask(4096, 4096, (4096, -1), False, 64) is None
+
+
+@pytest.mark.parametrize("window,causal", [((256, 0), False), ((192, 64), False),
+                                           ((256, -1), True)])
+def test_window_auto_tiled_parity(rng, window, causal):
+    """window= through the auto-tiled route matches the reference, forward
+    and gradients, and actually takes the route (dispatch counter)."""
+    import umfa_tpu
+
+    q, k, v = make_qkv(rng, 1, 2, 1024, 1024, 64)
+    before = umfa_tpu.get_dispatch_stats().get("window_auto_tiled", 0)
+    out = flash_attention(q, k, v, window=window, causal=causal)
+    after = umfa_tpu.get_dispatch_stats().get("window_auto_tiled", 0)
+    want = reference_attention(q, k, v, window=window, causal=causal)
+    rel = float(jnp.linalg.norm(out - want) / jnp.linalg.norm(want))
+    assert rel < 1e-5, rel
+
+    def loss_fused(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, window=window, causal=causal) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            reference_attention(q, k, v, window=window, causal=causal) ** 2
+        )
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_fused, g_ref):
+        rel = float(jnp.linalg.norm(gf - gr) / (jnp.linalg.norm(gr) + 1e-30))
+        assert rel < 1e-4, rel

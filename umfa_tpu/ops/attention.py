@@ -130,6 +130,28 @@ def flash_attention(
     Gradients are computed in FP32 and cast back to input dtypes (reference
     invariant: FP32 grads, metal_sdpa_backend.cpp:2800-2804).
     """
+    if (
+        block_mask is None
+        and bias is None
+        and window is not None
+        and block_sizes == BlockSizes()
+    ):
+        # Plain `window=` calls get the same per-mask tile auto-tuning that
+        # compiled BlockMasks do: tile structure (skip + compacted fetch)
+        # comes from an analytically-built BlockMask, while intra-tile
+        # masking stays the kernel's causal/window index math (bias=None —
+        # nothing [Sq, Sk]-shaped is ever materialized). None = the default
+        # masked walk is predicted at least as fast (wide windows).
+        from umfa_tpu.ops.block_mask import maybe_window_block_mask
+
+        block_mask = maybe_window_block_mask(
+            q.shape[2], k.shape[2], tuple(window), causal, q.shape[3]
+        )
+        if block_mask is not None:
+            from umfa_tpu.engine.stats import record_dispatch
+
+            record_dispatch("window_auto_tiled")
+
     block_map = fetch_kv = fetch_q = None
     if block_mask is not None:
         assert bias is None, "pass either bias or block_mask, not both"

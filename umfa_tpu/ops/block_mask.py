@@ -19,6 +19,7 @@ the result is a pytree that can be reused across calls/jit.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional, Union
 
 import jax
@@ -334,3 +335,111 @@ def sliding_window_block_mask(
         return keep
 
     return make_block_mask(fn, seq_q, seq_k, **kwargs)
+
+
+def _window_tile_map_np(seq_q, seq_k, bq, bk, left, right, causal):
+    """Analytic SKIP/PARTIAL/FULL tile map for a sliding-window (± causal)
+    mask — O(nq·nk), no O(Sq·Sk) element-mask materialization (a 32K window
+    mask would be 1 GiB of bools). Element visibility is l(q) <= k <= u(q)
+    with l(q) = q - left (or -inf) and u(q) = q + min(right, 0 if causal)
+    (or +inf); both bounds are monotone in q, so tile classification needs
+    only the tile's corner rows."""
+    import numpy as np
+
+    nq = _round_up(seq_q, bq) // bq
+    nk = _round_up(seq_k, bk) // bk
+    q0 = np.arange(nq) * bq
+    q1 = np.minimum(q0 + bq, seq_q) - 1
+    k0 = np.arange(nk) * bk
+    k1 = np.minimum(k0 + bk, seq_k) - 1
+    INF = 1 << 40
+    lo_min = (q0 - left) if left >= 0 else np.full(nq, -INF)  # l(q0)
+    lo_max = (q1 - left) if left >= 0 else np.full(nq, -INF)  # l(q1)
+    u = right if right >= 0 else INF
+    if causal:
+        u = min(u, 0)
+    hi_max = q1 + u if u < INF else np.full(nq, INF)  # u(q1)
+    hi_min = q0 + u if u < INF else np.full(nq, INF)  # u(q0)
+    visible = (k0[None, :] <= hi_max[:, None]) & (k1[None, :] >= lo_min[:, None])
+    full = (k1[None, :] <= hi_min[:, None]) & (k0[None, :] >= lo_max[:, None])
+    if seq_k % bk:
+        full[:, -1] = False  # padded KV tail needs the intra-tile mask
+    m = np.where(full, FULL, np.where(visible, PARTIAL, SKIP)).astype(np.int32)
+    return m[None, None]  # (1, 1, nq, nk)
+
+
+def _predict_cost_dense_walk(tile_map, bq, bk) -> float:
+    """Predicted cost of the NON-compacted walk (the plain causal/window
+    path): the grid iterates every (qi, ki) step; invisible steps skip
+    compute (pl.when) and their DMA is elided, costing only step overhead."""
+    vis = tile_map != SKIP
+    slices = tile_map.shape[0] * tile_map.shape[1]
+    n_vis = float(vis.sum()) / slices
+    nq, nk = tile_map.shape[2], tile_map.shape[3]
+    n_partial = float((tile_map == PARTIAL).sum()) / slices
+    return (
+        n_vis * (_C0 + _C1 * bq * bk)
+        + (nq * nk - n_vis) * _C0_PAD
+        + n_partial * _C1_PARTIAL * bq * bk
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def maybe_window_block_mask(
+    seq_q: int,
+    seq_k: int,
+    window: tuple,
+    causal: bool = False,
+    head_dim: int = 64,
+) -> Optional[BlockMask]:
+    """Auto-tiled tile structure for a plain `window=` call, or None when the
+    default masked walk is already predicted at least as fast (wide windows).
+
+    The returned BlockMask carries ONLY tile structure (block_map + compacted
+    fetch/fill tables) with bias=None: intra-tile masking stays the kernel's
+    iota/compare index math, so no [Sq, Sk] bias ever hits HBM. The caller
+    keeps causal/window in the kernel config. This closes the tile-granularity
+    gap of round 2 (a 256-wide window touched ~2 of 4 KV tiles per q-row at
+    the fixed 1024² tiling; reference sliding-window claim: README.md:72)."""
+    import numpy as np
+
+    left, right = window
+    # Default masked path tiling: fwd q-tile request 1024, KV tiles 1024.
+    bq_d = min(1024, _round_up(seq_q, 128))
+    bk_d = min(1024, _round_up(seq_k, 128))
+    default_cost = _predict_cost_dense_walk(
+        _window_tile_map_np(seq_q, seq_k, bq_d, bk_d, left, right, causal),
+        bq_d, bk_d,
+    )
+    best = (default_cost * 0.9, None, None, None)  # require >=10% predicted win
+    seen = set()
+    for bq, bk in _AUTO_TILE_CANDIDATES:
+        # Run candidates through the kernel's own clamp so the tile sizes the
+        # mask is built with are exactly what flash_attention_forward derives
+        # (vmem cap at large head_dim, padding-waste avoidance).
+        bq = _choose_block(bq, seq_q, head_dim)
+        bk = _choose_block(bk, seq_k, head_dim)
+        if (bq, bk) in seen:
+            continue
+        seen.add((bq, bk))
+        m = _window_tile_map_np(seq_q, seq_k, bq, bk, left, right, causal)
+        cost = _predict_cost(m, bq, bk)
+        if cost < best[0]:
+            best = (cost, bq, bk, m)
+    if best[1] is None:
+        return None
+    _, block_q, block_k, m = best
+    fkv = _compact_ids(m)
+    hold, fill = _fill_schedule(fkv)
+    return BlockMask(
+        block_map=jnp.asarray(m, jnp.int32),
+        bias=None,
+        block_q=block_q,
+        block_k=block_k,
+        seq_q=seq_q,
+        seq_k=seq_k,
+        fetch_kv=jnp.asarray(fkv, jnp.int32),
+        fetch_q=jnp.asarray(_compact_ids(np.swapaxes(m, 2, 3)), jnp.int32),
+        hold_kv=jnp.asarray(hold, jnp.int32),
+        fill_kv=jnp.asarray(fill, jnp.int32),
+    )
