@@ -776,6 +776,7 @@ def _try_fused_single_launch(
         q_precision=key.config.q_precision,
         k_precision=key.config.k_precision,
         v_precision=key.config.v_precision,
+        strategy=key.config.strategy,
         block_sizes=key.block_sizes, out_dtype=out_dtype,
         interpret=key.interpret,
     )
