@@ -57,7 +57,8 @@ typedef enum {
   UMFA_ROUTE_ROPE_FUSED = 5,
   UMFA_ROUTE_NAIVE_FALLBACK = 6,
   UMFA_ROUTE_MASK_ALL_TRUE_SKIPPED = 7,
-  UMFA_ROUTE_COUNT = 8
+  UMFA_ROUTE_WINDOW_AUTO_TILED = 8,
+  UMFA_ROUTE_COUNT = 9
 } umfa_route_t;
 
 const char *umfa_version(void);

@@ -280,10 +280,14 @@ def test_window_auto_tiled_parity(rng, window, causal):
     and gradients, and actually takes the route (dispatch counter)."""
     import umfa_tpu
 
-    q, k, v = make_qkv(rng, 1, 2, 1024, 1024, 64)
+    # S=2048: large enough that the auto-tuner predicts a win for every
+    # parametrized window (at S<=1024 the whole sequence is one default
+    # tile and maybe_window_block_mask correctly returns None).
+    q, k, v = make_qkv(rng, 1, 2, 2048, 2048, 64)
     before = umfa_tpu.get_dispatch_stats().get("window_auto_tiled", 0)
     out = flash_attention(q, k, v, window=window, causal=causal)
     after = umfa_tpu.get_dispatch_stats().get("window_auto_tiled", 0)
+    assert after == before + 1, "window= did not take the auto-tiled route"
     want = reference_attention(q, k, v, window=window, causal=causal)
     rel = float(jnp.linalg.norm(out - want) / jnp.linalg.norm(want))
     assert rel < 1e-5, rel

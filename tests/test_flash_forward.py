@@ -172,3 +172,41 @@ def test_kv_cache_active_shapes(rng):
     out, _ = flash_attention_forward(q, k, v, bias, interpret=True)
     want = reference_attention(q, k, v, bias)
     assert rel_err(out, want) < 2e-5
+
+
+def test_causal_diag_subtile_path(rng):
+    """The causal diagonal fast path (q-row sub-blocks over the visible
+    column prefix, shared w x w triangle bias) must be active for plain
+    causal calls and match the reference bit-tight, grads included."""
+    from umfa_tpu.ops.flash_fwd import _diag_subtile_count
+
+    # Path activation conditions.
+    assert _diag_subtile_count(1024, 1024, True, None, 4096, False) == 4
+    assert _diag_subtile_count(512, 512, True, None, 4096, False) == 4
+    assert _diag_subtile_count(256, 256, True, None, 4096, False) == 2
+    assert _diag_subtile_count(1024, 512, True, None, 4096, False) == 0
+    assert _diag_subtile_count(1024, 1024, True, (64, 0), 4096, False) == 0
+    assert _diag_subtile_count(1024, 1024, True, None, 4095, False) == 0
+    assert _diag_subtile_count(1024, 1024, True, None, 4096, True) == 0
+    assert _diag_subtile_count(1024, 1024, False, None, 4096, False) == 0
+
+    # Multi-q-block causal parity (4 q-blocks, 4 diagonal tiles), explicit
+    # equal tiles so the diagonal path engages, GQA exercises the shared
+    # cache fill.
+    from umfa_tpu.ops.attention import flash_attention
+
+    q, k, v = make_qkv(rng, 1, 4, 1024, 1024, 64, kv_heads=2)
+    bs = BlockSizes(block_q=256, block_k=256)
+    out = flash_attention(
+        q, k, v, causal=True, block_sizes=bs, interpret=True
+    )
+    want = reference_attention(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), **TOL["fp32"])
+
+    g = jax.grad(lambda q: jnp.sum(flash_attention(
+        q, k, v, causal=True, block_sizes=bs, interpret=True
+    ) ** 2))(q)
+    gr = jax.grad(lambda q: jnp.sum(reference_attention(
+        q, k, v, causal=True
+    ) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4, rtol=2e-4)

@@ -21,6 +21,7 @@ _ROUTES = (
     "rope_fused",           # fused RoPE + attention
     "naive_fallback",       # jnp reference path (unsupported config)
     "mask_all_true_skipped",
+    "window_auto_tiled",   # plain window= promoted to an auto-tiled walk
 )
 
 _lock = threading.Lock()

@@ -25,6 +25,7 @@ _ROUTE_NAMES = (
     "rope_fused",
     "naive_fallback",
     "mask_all_true_skipped",
+    "window_auto_tiled",
 )
 _ROUTE_IDS = {name: i for i, name in enumerate(_ROUTE_NAMES)}
 

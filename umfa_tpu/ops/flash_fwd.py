@@ -174,6 +174,24 @@ def _intra_block_mask(
     return mask
 
 
+def _diag_subtile_count(block_q: int, block_k: int, causal: bool, window,
+                        seq_k: int, has_bias: bool) -> int:
+    """How many q-row sub-blocks the causal-diagonal fast path uses (0 = path
+    disabled). Preconditions for the path: with bq == bk and the KV tail
+    aligned, every PARTIAL causal tile is EXACTLY diagonal (k_start ==
+    q_start), so sub-block i of the q rows attends only the column prefix
+    [0, (i+1)·w) — the matmul, exp, and stat updates all shrink to ~(NS+1)/2NS
+    of the full tile, and the only mask needed is one shared w×w triangle."""
+    if not causal or window is not None or has_bias:
+        return 0
+    if block_q != block_k or seq_k % block_k != 0:
+        return 0
+    for ns in (4, 2):
+        if block_q % ns == 0 and block_q // ns >= 128:
+            return ns
+    return 0
+
+
 def _fwd_kernel(
     # refs (bias_ref only present when has_bias)
     *refs,
@@ -191,6 +209,7 @@ def _fwd_kernel(
     kv_cache: bool,
     group: int,
     vc_width: int,
+    diag_ns: int,
     out_dtype,
 ):
     refs = list(refs)
@@ -389,15 +408,121 @@ def _fwd_kernel(
         l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
         acc_scr[...] = acc_scr[...] * alpha + pv
 
+    def _do_update_diag():
+        # Causal diagonal tile (k_start == q_start — the ONLY partial tile
+        # when bq == bk, no window, aligned KV tail): q rows go in diag_ns
+        # sub-blocks of w rows; sub-block i attends columns [0, (i+1)·w)
+        # only, so the fully-masked column suffix is never multiplied,
+        # exp'd, or masked — ~(NS+1)/2NS of the full tile's MACs/exp at
+        # NS=4 (62.5%). The w×w triangular corner is the same for every i
+        # (and every diagonal tile): built once per tile at 1/NS² the full
+        # mask cost and applied as a bias ADD; exp underflows masked lanes
+        # to exact 0 and every diagonal row has >= 1 visible column, so the
+        # where(s)/where(p) passes vanish entirely. This is the sub-tiled
+        # diagonal lever (VERDICT r2 next #2; reference anchor: the GLUON
+        # subtiled-softmax optimization, GLUON_OPTIMIZATIONS_SUMMARY.md).
+        w = block_q // diag_ns
+        d = q_scr.shape[1]
+        mxu = (
+            jax.lax.Precision.HIGHEST
+            if q_scr.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+
+        def k_rows(start, n):
+            if kv_cache:
+                return kcache[pl.ds(k_start + start, n), :]
+            return k_ref[0, 0, pl.ds(start, n), :]
+
+        def v_rows(start, n):
+            if kv_cache:
+                return vcache[pl.ds(k_start + start, n), :]
+            return v_ref[0, 0, pl.ds(start, n), :]
+
+        tri = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+            > jax.lax.broadcasted_iota(jnp.int32, (w, w), 0),
+            DEFAULT_MASK_VALUE,
+            0.0,
+        )
+        for i in range(diag_ns):
+            q_i = q_scr[pl.ds(i * w, w), :]
+            n_pre = i * w
+            s_diag = jax.lax.dot_general(
+                q_i, k_rows(n_pre, w),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu,
+            ) + tri
+            m_cur = jnp.max(s_diag, axis=-1, keepdims=True)
+            if n_pre:
+                s_pre = jax.lax.dot_general(
+                    q_i, k_rows(0, n_pre),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mxu,
+                )
+                m_cur = jnp.maximum(
+                    m_cur, jnp.max(s_pre, axis=-1, keepdims=True)
+                )
+            m_prev = m_scr[pl.ds(i * w, w), 0:1]
+            l_prev = l_scr[pl.ds(i * w, w), 0:1]
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p_diag = jnp.exp(s_diag - m_new)
+            v_diag = v_rows(n_pre, w)
+            pb_diag = p_diag.astype(v_diag.dtype)
+            pv = jax.lax.dot_general(
+                pb_diag, v_diag,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu,
+            )
+            # Row-sum: from the cache's ones column when present (the P·V
+            # matmul emitted it in column d), else a VPU reduce.
+            ones_from_cache = kv_cache and vc_width > d
+            psum_vpu = None
+            if not ones_from_cache:
+                psum_vpu = jnp.sum(p_diag, axis=-1, keepdims=True)
+            if n_pre:
+                p_pre = jnp.exp(s_pre - m_new)
+                v_pre = v_rows(0, n_pre)
+                pv = pv + jax.lax.dot_general(
+                    p_pre.astype(v_pre.dtype), v_pre,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mxu,
+                )
+                if psum_vpu is not None:
+                    psum_vpu = psum_vpu + jnp.sum(
+                        p_pre, axis=-1, keepdims=True
+                    )
+            psum = pv[:, d:d + 1] if ones_from_cache else psum_vpu
+            l_new = alpha * l_prev + psum
+            m_scr[pl.ds(i * w, w), :] = jnp.broadcast_to(
+                m_new, (w, m_scr.shape[1])
+            )
+            l_scr[pl.ds(i * w, w), :] = jnp.broadcast_to(
+                l_new, (w, l_scr.shape[1])
+            )
+            acc_scr[pl.ds(i * w, w), :] = (
+                acc_scr[pl.ds(i * w, w), :] * alpha + pv[:, :d]
+            )
+
     masked = causal or window is not None or bool(seq_k % block_k)
     if masked:
         # Runtime split: interior (fully-visible) tiles skip all VPU mask
         # work — iota, compares, selects on a (block_q, block_k) tile — which
         # is pure overhead on the ~60% of causal tiles that are not on the
         # diagonal (VERDICT r1: causal at ~65% of its visible-tile ceiling).
-        @pl.when(jnp.logical_and(visible, partial))
-        def _compute_masked():
-            _do_update(True)
+        if diag_ns:
+            @pl.when(jnp.logical_and(visible, partial))
+            def _compute_diag():
+                _do_update_diag()
+        else:
+            @pl.when(jnp.logical_and(visible, partial))
+            def _compute_masked():
+                _do_update(True)
 
         @pl.when(jnp.logical_and(visible, jnp.logical_not(partial)))
         def _compute_full():
@@ -685,6 +810,12 @@ def flash_attention_forward(
         ),
     ]
 
+    diag_ns = 0
+    if block_map is None:
+        diag_ns = _diag_subtile_count(
+            block_q, block_k, causal, window, seq_k, has_bias
+        )
+
     kernel = functools.partial(
         _fwd_kernel,
         scale=scale,
@@ -701,6 +832,7 @@ def flash_attention_forward(
         kv_cache=use_kv_cache,
         group=group,
         vc_width=vc_width,
+        diag_ns=diag_ns,
         out_dtype=out_dtype,
     )
 

@@ -182,6 +182,7 @@ def _fused_qattn_kernel(
     v_int4: bool,
     has_fetch: bool,
     asym: bool,
+    diag_ns: int,
     out_dtype,
 ):
     refs = list(refs)
@@ -499,11 +500,92 @@ def _fused_qattn_kernel(
             acc_scr[...] = acc_scr[...] * alpha + pv[:, :head_dim]
         l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
+    def _do_update_diag():
+        # Causal diagonal fast path — same sub-tiled scheme as
+        # flash_fwd._do_update_diag (see there for the derivation): q rows
+        # in diag_ns sub-blocks, each attending only its visible column
+        # prefix of the (deq bf16) K/V caches; one shared w×w triangle bias,
+        # no where(s)/where(p) passes. The Q-mean compensation row (cc)
+        # slices along with the columns.
+        w = block_q // diag_ns
+        d = head_dim
+        tri = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+            > jax.lax.broadcasted_iota(jnp.int32, (w, w), 0),
+            DEFAULT_MASK_VALUE,
+            0.0,
+        )
+        for i in range(diag_ns):
+            q_i = q_scr[pl.ds(i * w, w), :]
+            n_pre = i * w
+            s_diag = jax.lax.dot_general(
+                q_i, kcache[pl.ds(k_start + n_pre, w), :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if cc is not None:
+                s_diag = s_diag + cc[0:1, pl.ds(k_start + n_pre, w)]
+            s_diag = s_diag + tri
+            m_cur = jnp.max(s_diag, axis=-1, keepdims=True)
+            if n_pre:
+                s_pre = jax.lax.dot_general(
+                    q_i, kcache[pl.ds(k_start, n_pre), :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if cc is not None:
+                    s_pre = s_pre + cc[0:1, pl.ds(k_start, n_pre)]
+                m_cur = jnp.maximum(
+                    m_cur, jnp.max(s_pre, axis=-1, keepdims=True)
+                )
+            m_prev = m_scr[pl.ds(i * w, w), 0:1]
+            l_prev = l_scr[pl.ds(i * w, w), 0:1]
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p_diag = jnp.exp(s_diag - m_new)
+            v_diag = vcache[pl.ds(k_start + n_pre, w), :]
+            pv = jax.lax.dot_general(
+                p_diag.astype(v_diag.dtype), v_diag,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            psum_vpu = None
+            if not ones_col:
+                psum_vpu = jnp.sum(p_diag, axis=-1, keepdims=True)
+            if n_pre:
+                p_pre = jnp.exp(s_pre - m_new)
+                v_pre = vcache[pl.ds(k_start, n_pre), :]
+                pv = pv + jax.lax.dot_general(
+                    p_pre.astype(v_pre.dtype), v_pre,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if psum_vpu is not None:
+                    psum_vpu = psum_vpu + jnp.sum(
+                        p_pre, axis=-1, keepdims=True
+                    )
+            psum = pv[:, d:d + 1] if ones_col else psum_vpu
+            l_new = alpha * l_prev + psum
+            m_scr[pl.ds(i * w, w), :] = jnp.broadcast_to(
+                m_new, (w, m_scr.shape[1])
+            )
+            l_scr[pl.ds(i * w, w), :] = jnp.broadcast_to(
+                l_new, (w, l_scr.shape[1])
+            )
+            acc_scr[pl.ds(i * w, w), :] = (
+                acc_scr[pl.ds(i * w, w), :] * alpha + pv[:, :d]
+            )
+
     masked = causal or window is not None or bool(seq_k % block_k)
     if masked:
-        @pl.when(jnp.logical_and(visible, partial))
-        def _compute_masked():
-            _do_update(True)
+        if diag_ns:
+            @pl.when(jnp.logical_and(visible, partial))
+            def _compute_diag():
+                _do_update_diag()
+        else:
+            @pl.when(jnp.logical_and(visible, partial))
+            def _compute_masked():
+                _do_update(True)
 
         @pl.when(jnp.logical_and(visible, jnp.logical_not(partial)))
         def _compute_full():
@@ -625,6 +707,17 @@ def fused_quantize_attend(
     rb = _right_bound(causal, window)
     has_fetch = fetch_kv is not None
     num_steps = fetch_kv.shape[3] if has_fetch else num_k_blocks
+
+    from umfa_tpu.ops.flash_fwd import _diag_subtile_count
+
+    diag_ns = 0
+    if not has_fetch and not pv_int8:
+        # pv_int8 keeps integer P through the dot (the diag path's prefix
+        # split would need per-sub-block scale plumbing); fetch walks carry
+        # their own tile structure.
+        diag_ns = _diag_subtile_count(
+            block_q, block_k, causal, window, seq_k, bias is not None
+        )
 
     def _tbl(ref, b, h, o, s):
         return ref[
@@ -862,6 +955,7 @@ def fused_quantize_attend(
         q_int4=q_int4, k_int4=k_int4, v_int4=v_int4,
         has_fetch=has_fetch,
         asym=asym,
+        diag_ns=diag_ns,
         out_dtype=jnp.dtype(out_dtype),
     )
     grid = (batch, num_heads, num_q_blocks, num_steps)
