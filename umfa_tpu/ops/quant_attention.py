@@ -770,6 +770,7 @@ def _try_fused_single_launch(
         smooth=key.config.smooth,
         smooth_q=key.config.effective_smooth_q(),
         hadamard=key.config.hadamard,
+        pv_int8=key.config.pv_int8,
         emit_residuals=emit_residuals,
         block_map=block_map, fetch_kv=fetch_kv,
         hold_kv=hold_kv, fill_kv=fill_kv,

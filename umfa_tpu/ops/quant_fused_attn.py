@@ -80,14 +80,21 @@ from umfa_tpu.ops.quant import QuantizedTensor
 
 _QMAX = 127.0
 # P-quantization scale folded into the exp argument: p~ = exp(s - m + ln A)
-# = A*p with A chosen so truncation to int8 never exceeds 127. Truncation
-# (not rounding) is deliberate: the SAME truncated p^ feeds both the P*V
-# matmul and the row-sum, so the truncation bias cancels exactly in
-# out = sum(p^ v)/sum(p^) (a weighted average is invariant to consistent
-# weight perturbation bias only in expectation, but using one p^ for both
-# numerator and denominator keeps rows exactly normalized).
+# = A*p with A chosen so round-to-nearest never exceeds 127 (A*1 rounds to
+# 127). The SAME rounded p^ feeds both the P*V matmul and the row-sum (ones
+# column of the same int dot), so rows stay exactly normalized in the
+# weights actually applied. r2 used truncation against the RUNNING max,
+# which zeroed every weight below 1/A — 8.7% relerr on iid scores; round 3
+# rounds against each pv_chunk's LOCAL max instead (see _do_update), which
+# lands ~1.7%.
 _P_AMP = 127.49
 _LN_P_AMP = math.log(_P_AMP)
+# Offset-encoded P amplitude: p >= 0 never uses int8's sign bit, so the
+# fused kernel stores p8 = round(A*p) - 128 with A = 255.49 (the full 510
+# half-levels of int8) and corrects the -128 with a precomputed rank-1
+# vsum term after the integer dot. Halves the P rounding noise for free.
+_P_AMP_U = 255.49
+_LN_P_AMP_U = math.log(_P_AMP_U)
 
 
 def _rotate(x, hmat):
@@ -175,6 +182,7 @@ def _fused_qattn_kernel(
     hadamard: bool,
     has_bias: bool,
     pv_int8: bool,
+    pv_chunk: int,
     ones_col: bool,
     emit_residuals: bool,
     q_int4: bool,
@@ -222,13 +230,13 @@ def _fused_qattn_kernel(
             idx += 1
     (m_scr, l_scr, acc_scr, q_scr, kcache, vcache) = refs[idx:idx + 6]
     idx += 6
-    cc = svc = qm_scr = km_scr = vm_scr = None
+    cc = svc = vsums = qm_scr = km_scr = vm_scr = None
     if smooth_q:
         cc = refs[idx]
         idx += 1
     if pv_int8:
-        svc = refs[idx]
-        idx += 1
+        svc, vsums = refs[idx:idx + 2]
+        idx += 2
     if smooth_q:
         qm_scr = refs[idx]
         idx += 1
@@ -330,16 +338,27 @@ def _fused_qattn_kernel(
             if kzp_ref is not None:
                 kzp_ref[0, 0] = k_zp.astype(jnp.int32)
         if pv_int8:
-            # V per-tile: its scale must be constant over the P·V
-            # contraction so it factors out of the integer matmul.
-            v_i8, sv = _quantize_tile(
-                v_f32, vm, per_tile=True, qmax=7.0 if v_int4 else _QMAX
-            )
+            # V per pv_chunk rows: the scale must be constant over each
+            # integer P·V contraction slice so it factors out of the int
+            # matmul — and the contraction is chunked (see _do_update), so
+            # the scale can be per-chunk instead of per-tile, cutting the
+            # V quantization step ~8x vs r2's per-2048-tile scalar.
+            v_chunks, sv_chunks = [], []
+            for c0 in range(0, block_k, pv_chunk):
+                v_c, sv_c = _quantize_tile(
+                    v_f32[c0:c0 + pv_chunk, :],
+                    None if vm is None else vm,
+                    per_tile=True, qmax=7.0 if v_int4 else _QMAX,
+                )
+                v_chunks.append(v_c)
+                sv_chunks.append(sv_c)
+                svc[:, pl.ds(k_start + c0, pv_chunk)] = jnp.broadcast_to(
+                    sv_c.reshape(1, pv_chunk), (8, pv_chunk)
+                )
+            v_i8 = jnp.concatenate(v_chunks, axis=0)
+            sv = jnp.concatenate(sv_chunks, axis=0)
             v_tile = v_i8
             one = jnp.ones((block_k, 1), jnp.int8)
-            svc[:, pl.ds(k_start, block_k)] = jnp.broadcast_to(
-                sv.reshape(1, block_k), (8, block_k)
-            )
         elif asym:
             v_i8, sv, v_zp = _quantize_tile_asym(
                 v_f32, vm, qmax=7.0 if v_int4 else _QMAX
@@ -365,6 +384,15 @@ def _fused_qattn_kernel(
                 cols.append(jnp.zeros((block_k, pad_w), v_tile.dtype))
             v_tile = jnp.concatenate(cols, axis=1)
         vcache[pl.ds(k_start, block_k), :] = v_tile
+        if pv_int8:
+            # Per-chunk column sums of the int8 cache (ones/pad columns
+            # included, so the correction covers the MXU rowsum too) for
+            # the offset-P correction in _do_update.
+            for c0 in range(0, block_k, pv_chunk):
+                vsums[pl.ds((k_start + c0) // pv_chunk, 1), :] = jnp.sum(
+                    v_tile[c0:c0 + pv_chunk, :].astype(jnp.float32),
+                    axis=0, keepdims=True,
+                )
         if vi8_ref is not None:
             vi8_ref[0, 0] = _pack_int4_tile(v_i8) if v_int4 else v_i8
             vs_ref[0, 0] = sv
@@ -458,27 +486,55 @@ def _fused_qattn_kernel(
         m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
 
         if pv_int8:
-            # p~ = A*exp(s - m), A = 127.49 folded into the exp argument
-            # (free), truncated to int8. l and acc both consume the SAME
-            # truncated p^, so normalization stays exact and the 1/A scale
-            # cancels in out = acc/l (lse re-adds ln A at finalize).
-            p8 = jnp.exp(s - (m_new - _LN_P_AMP)).astype(jnp.int8)
-            if apply_mask:
-                p8 = jnp.where(mask, p8, 0)
-            pv = jax.lax.dot_general(
-                p8, vcache[pl.ds(k_start, block_k), :],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
-            if ones_col:
-                psum = pv[:, head_dim:head_dim + 1]
-            else:
-                psum = jnp.sum(
-                    p8.astype(jnp.float32), axis=-1, keepdims=True
-                )
-            l_new = alpha * l_prev + psum
-            sv1 = svc[0:1, pl.ds(k_start, 1)]
-            acc_scr[...] = acc_scr[...] * alpha + pv[:, :head_dim] * sv1
+            # Chunked local-max integer P·V (round 3; replaces r2's
+            # global-max truncation, which zeroed sub-1/A weights wholesale
+            # — 8.7% relerr on iid scores). Each pv_chunk-wide column slice
+            # quantizes p against ITS OWN row max: p_loc = exp(s_c - ml) hits
+            # 1.0 somewhere in every live chunk, so round(A·p_loc) uses the
+            # full 7-bit range per chunk instead of per running max, and the
+            # result folds back through beta = exp(ml - m_new) applied to
+            # the small (block_q, D) chunk product — the same rescale
+            # algebra online softmax already uses for alpha. Round-to-
+            # nearest, and l consumes the SAME p8 (ones column of the same
+            # int dot), so rows stay exactly normalized in the weights
+            # actually applied. Masked lanes underflow exp to exact 0 (and
+            # an all-masked chunk's beta underflows to 0), so no where()
+            # pass is needed. Simulated iid relerr: trunc 8.7% -> RTN 3.2%
+            # -> chunked local-max RTN 1.7%.
+            l_new = alpha * l_prev
+            acc = acc_scr[...] * alpha
+            for c0 in range(0, block_k, pv_chunk):
+                s_c = s[:, c0:c0 + pv_chunk]
+                ml = jnp.max(s_c, axis=-1, keepdims=True)
+                # Offset encoding: p >= 0 wastes int8's sign bit, so store
+                # p8 = round(A*p_loc) - 128 with A = 255.49 (half the
+                # rounding noise of A = 127.49) and undo the -128 after the
+                # dot with the precomputed rank-1 term 128 * vsum_c. Masked
+                # lanes underflow exp to 0 -> p8 = -128 -> corrected to
+                # exact 0.
+                p8 = (
+                    jnp.round(jnp.exp(s_c - (ml - _LN_P_AMP_U)))
+                    - 128.0
+                ).astype(jnp.int8)
+                pv = jax.lax.dot_general(
+                    p8, vcache[pl.ds(k_start + c0, pv_chunk), :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+                ci = (k_start + c0) // pv_chunk
+                pv = pv + 128.0 * vsums[pl.ds(ci, 1), :]
+                beta = jnp.exp(ml - m_new)
+                if ones_col:
+                    psum = pv[:, head_dim:head_dim + 1]
+                else:
+                    psum = jnp.sum(
+                        p8.astype(jnp.float32) + 128.0,
+                        axis=-1, keepdims=True,
+                    )
+                l_new = l_new + psum * beta
+                sv_c = svc[0:1, pl.ds(k_start + c0, 1)]
+                acc = acc + pv[:, :head_dim] * (beta * sv_c)
+            acc_scr[...] = acc
         else:
             p = jnp.exp(s - m_new)
             if apply_mask:
@@ -607,7 +663,7 @@ def _fused_qattn_kernel(
             out = jnp.where(l == 0.0, 0.0, out + vm_scr[0:1, :])
         o_ref[0, 0] = out.astype(out_dtype)
         # pv_int8 tracks l in p^ = A*p units; ln A comes back off the LSE.
-        l_off = _LN_P_AMP if pv_int8 else 0.0
+        l_off = _LN_P_AMP_U if pv_int8 else 0.0
         lse = jnp.where(
             l == 0.0, DEFAULT_MASK_VALUE, m + jnp.log(l_safe) - l_off
         )
@@ -718,6 +774,14 @@ def fused_quantize_attend(
         diag_ns = _diag_subtile_count(
             block_q, block_k, causal, window, seq_k, bias is not None
         )
+
+    # Integer P·V contraction chunk: 256-deep keeps the int8 MXU packing
+    # advantage (measured v5e: int8 matmul needs >=256-deep contractions to
+    # beat bf16) while the per-chunk local-max P scale holds accuracy
+    # (~1.7% iid vs 8.7% for r2's per-running-max truncation).
+    pv_chunk = min(256, block_k) if pv_int8 else 0
+    while pv_chunk and block_k % pv_chunk:
+        pv_chunk //= 2
 
     def _tbl(ref, b, h, o, s):
         return ref[
@@ -932,8 +996,15 @@ def fused_quantize_attend(
         # Q-mean compensation row cache (per current head).
         scratch_shapes.append(pltpu.VMEM((8, padded_sk), jnp.float32))
     if pv_int8:
-        # per-tile V scale row cache
+        # per-chunk V scale row cache
         scratch_shapes.append(pltpu.VMEM((8, padded_sk), jnp.float32))
+        # per-chunk V column sums (int8 cache units, incl. the ones column):
+        # the offset-encoded P (p8 = round(A*p) - 128, A = 255.49 — the sign
+        # bit of int8 is wasted on p >= 0 otherwise) is corrected by the
+        # rank-1 add 128 * vsum_c after the integer dot.
+        scratch_shapes.append(
+            pltpu.VMEM((max(8, padded_sk // pv_chunk), v_w), jnp.float32)
+        )
     if smooth_q:
         scratch_shapes.append(pltpu.VMEM((8, head_dim), jnp.float32))  # qm
     if smooth:
@@ -950,7 +1021,8 @@ def fused_quantize_attend(
         num_k_blocks=num_steps,  # finalize at the last (compacted) step
         head_dim=head_dim, group=group,
         smooth=smooth, smooth_q=smooth_q, hadamard=hadamard,
-        has_bias=has_bias, pv_int8=pv_int8, ones_col=ones_col,
+        has_bias=has_bias, pv_int8=pv_int8, pv_chunk=pv_chunk,
+        ones_col=ones_col,
         emit_residuals=emit_residuals,
         q_int4=q_int4, k_int4=k_int4, v_int4=v_int4,
         has_fetch=has_fetch,
@@ -1082,10 +1154,9 @@ def fused_path_supported(
         config.q_precision, config.k_precision, config.v_precision
     ) and head_dim % 2 != 0:
         return False
-    if config.pv_int8:
-        # config-level pv_int8 keeps the two-pass BLOCK-mode V contract
-        # (round-to-nearest P); the fused kernel's folded-truncation variant
-        # is reachable via fused_quantize_attend(pv_int8=True).
+    if config.pv_int8 and config.strategy == QuantStrategy.ASYMMETRIC:
+        # Integer P·V needs symmetric V (a zero point would need in-matmul
+        # compensation that varies over the contraction).
         return False
     if block_map is not None:
         # Block-sparse needs the full compacted schedule (fetch + hold +
