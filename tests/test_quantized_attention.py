@@ -698,3 +698,53 @@ def test_pv_int8_routes_through_fused_single_launch(rng):
     for g, gr in zip(got, ref):
         assert cosine(g, gr) > BWD_COSINE_MIN
         assert rel_err(g, gr) < BWD_REL_ERR_MAX
+
+
+def test_block_mode_routes_through_fused_single_launch(rng):
+    """BLOCK granularity must take the single-launch fused path (r2 sent
+    every non-ROW mode to the two-pass route — VERDICT r2 next #4): the
+    in-register segment-max emits one scale per BlockSizeConfig rows
+    (power-of-two-floored), residual metadata records BLOCK + the effective
+    group, and STE gradients flow through the emitted residuals."""
+    from umfa_tpu.ops.quant_fused_attn import (
+        fused_path_supported,
+        fused_quantize_attend,
+    )
+
+    cfg = _cfg(Precision.INT8, QuantMode.BLOCK)
+    assert fused_path_supported(
+        cfg, 512, 64, None, None, None,
+        causal=False, window=None, seq_q=512,
+    )
+    # TENSOR still needs the two-pass cross-tile reduction.
+    assert not fused_path_supported(
+        _cfg(Precision.INT8, QuantMode.TENSOR), 512, 64, None, None, None,
+        causal=False, window=None, seq_q=512,
+    )
+
+    q, k, v = make_qkv(rng, 1, 2, 512, 512, 64)
+    want = reference_attention(q, k, v)
+    out = quantized_flash_attention(q, k, v, config=cfg, interpret=True)
+    assert rel_err(out, want) < INT8_REL_ERR
+
+    # Scale structure: one scale per 64 K rows (default BlockSizeConfig.k),
+    # constant within each group.
+    _, _, qt_q, qt_k, _, _, _ = fused_quantize_attend(
+        q, k, v, mode=QuantMode.BLOCK, interpret=True
+    )
+    assert qt_k.mode == QuantMode.BLOCK and qt_k.block_size == 64
+    assert qt_q.block_size == 128  # BlockSizeConfig.q default
+    sc = np.asarray(qt_k.scales)[0, 0, :, 0].reshape(-1, 64)
+    assert (sc == sc[:, :1]).all()
+    assert len(np.unique(sc)) == 512 // 64
+
+    got = jax.grad(
+        lambda q: jnp.sum(quantized_flash_attention(
+            q, k, v, config=cfg, interpret=True
+        ) ** 2)
+    )(q)
+    ref = jax.grad(
+        lambda q: jnp.sum(reference_attention(q, k, v) ** 2)
+    )(q)
+    assert cosine(got, ref) > BWD_COSINE_MIN
+    assert rel_err(got, ref) < BWD_REL_ERR_MAX

@@ -778,6 +778,8 @@ def _try_fused_single_launch(
         k_precision=key.config.k_precision,
         v_precision=key.config.v_precision,
         strategy=key.config.strategy,
+        mode=key.config.mode,
+        quant_blocks=key.config.block_sizes,
         block_sizes=key.block_sizes, out_dtype=out_dtype,
         interpret=key.interpret,
     )

@@ -110,7 +110,22 @@ def _rotate(x, hmat):
     )
 
 
-def _quantize_tile(x, mean_row, per_tile: bool = False, qmax: float = _QMAX):
+def _segment_stat(a, group: int, reduce_fn):
+    """Per-row stat (tile, 1) -> per-group-of-`group`-rows stat broadcast
+    back to every row (BLOCK granularity). Static loop + concat along
+    sublanes — Mosaic-legal (no sublane reshapes), and only the small
+    (tile, 1) stat column is touched."""
+    tile = a.shape[0]
+    parts = []
+    for j in range(0, tile, group):
+        parts.append(jnp.broadcast_to(
+            reduce_fn(a[j:j + group], axis=0, keepdims=True), (group, 1)
+        ))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _quantize_tile(x, mean_row, per_tile: bool = False, qmax: float = _QMAX,
+                   group: int = 0):
     """Register-space quantization: pre-rotated (tile, D) f32 -> int8+scale
     (values in the int4 range when qmax=7; packing happens at emission).
 
@@ -120,7 +135,9 @@ def _quantize_tile(x, mean_row, per_tile: bool = False, qmax: float = _QMAX):
 
     per_tile=True uses ONE scalar scale for the whole tile (still emitted
     broadcast to (tile, 1) so the residual keeps the ROW-mode layout) — the
-    pv_int8 path needs V's scale constant over the contraction."""
+    pv_int8 path needs V's scale constant over the contraction.
+    group=N gives BLOCK granularity: one scale per N sequence rows
+    (SageAttention-style per-tile scales, engine.config.BlockSizeConfig)."""
     if mean_row is not None:
         x = x - mean_row
     absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
@@ -128,12 +145,14 @@ def _quantize_tile(x, mean_row, per_tile: bool = False, qmax: float = _QMAX):
         absmax = jnp.broadcast_to(
             jnp.max(absmax, axis=0, keepdims=True), absmax.shape
         )
+    elif group:
+        absmax = _segment_stat(absmax, group, jnp.max)
     scale = jnp.maximum(absmax, 1e-12) / qmax
     q = jnp.clip(jnp.round(x / scale), -qmax - 1, qmax)
     return q.astype(jnp.int8), scale
 
 
-def _quantize_tile_asym(x, mean_row, qmax: float = _QMAX):
+def _quantize_tile_asym(x, mean_row, qmax: float = _QMAX, group: int = 0):
     """Asymmetric (affine) register-space quantization, matching
     ops.quant.quantize's ASYMMETRIC formulas exactly (same residual
     contract): scale = (hi - lo)/(2·qmax + 1), zp int32 (NOT clipped to the
@@ -149,6 +168,9 @@ def _quantize_tile_asym(x, mean_row, qmax: float = _QMAX):
         x = x - mean_row
     hi = jnp.max(x, axis=-1, keepdims=True)
     lo = jnp.min(x, axis=-1, keepdims=True)
+    if group:
+        hi = _segment_stat(hi, group, jnp.max)
+        lo = _segment_stat(lo, group, jnp.min)
     scale = jnp.maximum(hi - lo, 1e-12) / (2 * qmax + 1)
     zp_f = jnp.round(-lo / scale) - (qmax + 1)
     q = jnp.clip(jnp.round(x / scale) + zp_f, -qmax - 1, qmax)
@@ -177,6 +199,9 @@ def _fused_qattn_kernel(
     num_k_blocks: int,
     head_dim: int,
     group: int,
+    q_group: int,
+    k_group: int,
+    v_group: int,
     smooth: bool,
     smooth_q: bool,
     hadamard: bool,
@@ -325,11 +350,14 @@ def _fused_qattn_kernel(
         # one bf16 rounding, below the int8 quantization error).
         if asym:
             k_i8, sk, k_zp = _quantize_tile_asym(
-                k_rot, km, qmax=7.0 if k_int4 else _QMAX
+                k_rot, km, qmax=7.0 if k_int4 else _QMAX,
+                group=k_group,
             )
             k_deq = (k_i8.astype(jnp.float32) - k_zp) * sk
         else:
-            k_i8, sk = _quantize_tile(k_rot, km, qmax=7.0 if k_int4 else _QMAX)
+            k_i8, sk = _quantize_tile(
+                k_rot, km, qmax=7.0 if k_int4 else _QMAX, group=k_group
+            )
             k_deq = k_i8.astype(jnp.float32) * sk
         kcache[pl.ds(k_start, block_k), :] = k_deq.astype(jnp.bfloat16)
         if ki8_ref is not None:
@@ -361,7 +389,8 @@ def _fused_qattn_kernel(
             one = jnp.ones((block_k, 1), jnp.int8)
         elif asym:
             v_i8, sv, v_zp = _quantize_tile_asym(
-                v_f32, vm, qmax=7.0 if v_int4 else _QMAX
+                v_f32, vm, qmax=7.0 if v_int4 else _QMAX,
+                group=v_group,
             )
             v_tile = (
                 (v_i8.astype(jnp.float32) - v_zp) * sv
@@ -369,7 +398,8 @@ def _fused_qattn_kernel(
             one = jnp.ones((block_k, 1), jnp.bfloat16)
         else:
             v_i8, sv = _quantize_tile(
-                v_f32, vm, qmax=7.0 if v_int4 else _QMAX
+                v_f32, vm, qmax=7.0 if v_int4 else _QMAX,
+                group=v_group,
             )
             v_tile = v_i8.astype(jnp.bfloat16) * sv.astype(jnp.bfloat16)
             one = jnp.ones((block_k, 1), jnp.bfloat16)
@@ -422,11 +452,14 @@ def _fused_qattn_kernel(
             qm = None
         if asym:
             q_i8, sq, q_zp = _quantize_tile_asym(
-                q_rot, qm, qmax=7.0 if q_int4 else _QMAX
+                q_rot, qm, qmax=7.0 if q_int4 else _QMAX,
+                group=q_group,
             )
             q_deq = (q_i8.astype(jnp.float32) - q_zp) * sq
         else:
-            q_i8, sq = _quantize_tile(q_rot, qm, qmax=7.0 if q_int4 else _QMAX)
+            q_i8, sq = _quantize_tile(
+                q_rot, qm, qmax=7.0 if q_int4 else _QMAX, group=q_group
+            )
             q_deq = q_i8.astype(jnp.float32) * sq
         # Dequantize with the softmax scale folded into the bf16 values: the
         # step loop's score tile needs ZERO elementwise scale work —
@@ -692,6 +725,8 @@ def fused_quantize_attend(
     k_precision: Precision = Precision.INT8,
     v_precision: Precision = Precision.INT8,
     strategy: QuantStrategy = QuantStrategy.SYMMETRIC,
+    mode: QuantMode = QuantMode.ROW,
+    quant_blocks=None,
     block_sizes: BlockSizes = BlockSizes(),
     out_dtype=jnp.float32,
     interpret: bool = False,
@@ -714,13 +749,17 @@ def fused_quantize_attend(
     added to every score tile (one VPU add per element). Turning only
     smooth_q off keeps most of the accuracy win at almost-bf16 speed.
 
-    `pv_int8` runs P·V as int8×int8→int32 with the ×127 P scale folded into
-    the exp argument and a per-tile V scale — the ONE attention matmul whose
-    contraction (block_k) is deep enough for the int8 MXU rate. It is OFF by
-    default: int8 P is quantized relative to the row max, so *diffuse*
-    attention rows (weights ~1/S, e.g. i.i.d. inputs, early training) lose
-    most of their mass to truncation (measured 7% relerr vs 1.4% at S=512).
-    Opt in for peaked/production attention only.
+    `pv_int8` runs P·V as int8×int8→int32 — the ONE attention matmul whose
+    contraction is deep enough for the int8 MXU rate. P quantizes against
+    each 256-column chunk's local row max with offset encoding
+    (p8 = round(255.49·p) - 128; the -128 is undone by a precomputed
+    rank-1 vsum add), so diffuse rows keep their mass: measured ~1.5%
+    relerr i.i.d. through the full int8 config vs 8.7% for r2's
+    running-max truncation.
+
+    `mode=QuantMode.BLOCK` emits one scale per `quant_blocks.{q,k,v}` rows
+    (power-of-two-floored, clamped to the kernel tile) instead of per row —
+    same in-register quantize with a segment-max over the stat column.
     """
     batch, num_heads, seq_q, head_dim = q.shape
     _, num_kv_heads, seq_k, _ = k.shape
@@ -782,6 +821,26 @@ def fused_quantize_attend(
     pv_chunk = min(256, block_k) if pv_int8 else 0
     while pv_chunk and block_k % pv_chunk:
         pv_chunk //= 2
+
+    # BLOCK granularity: one scale per quant_blocks.{q,k,v} rows. Floor to a
+    # power of two and clamp to the kernel tile so the group always divides
+    # it (tiles are multiples of 128).
+    q_group = k_group = v_group = 0
+    if mode == QuantMode.BLOCK:
+        from umfa_tpu.engine.config import BlockSizeConfig
+
+        qb = quant_blocks or BlockSizeConfig()
+
+        def _grp(req, tile):
+            g = 1 << (max(8, int(req)).bit_length() - 1)
+            g = min(g, tile)
+            while tile % g:
+                g //= 2
+            return g
+
+        q_group = _grp(qb.q, block_q)
+        k_group = _grp(qb.k, block_k)
+        v_group = _grp(qb.v, block_k)
 
     def _tbl(ref, b, h, o, s):
         return ref[
@@ -1020,6 +1079,7 @@ def fused_quantize_attend(
         seq_q=seq_q, seq_k=seq_k,
         num_k_blocks=num_steps,  # finalize at the last (compacted) step
         head_dim=head_dim, group=group,
+        q_group=q_group, k_group=k_group, v_group=v_group,
         smooth=smooth, smooth_q=smooth_q, hadamard=hadamard,
         has_bias=has_bias, pv_int8=pv_int8, pv_chunk=pv_chunk,
         ones_col=ones_col,
@@ -1100,7 +1160,7 @@ def fused_quantize_attend(
     if smooth:
         vm = outs[nxt]
 
-    def qt(vals, scales, zp, shape, dtype, precision):
+    def qt(vals, scales, zp, shape, dtype, precision, eff_group):
         return QuantizedTensor(
             values=vals[:, :, :shape[2]],
             scales=scales[:, :, :shape[2]],
@@ -1111,16 +1171,19 @@ def fused_quantize_attend(
             # dequantizes on load — derive on demand if ever needed.
             row_sums=None,
             precision=precision,
-            mode=QuantMode.ROW,
+            mode=QuantMode.BLOCK if eff_group else QuantMode.ROW,
             strategy=strategy,
-            block_size=0,
+            block_size=eff_group,
             orig_shape=shape,
             orig_dtype=jnp.dtype(dtype),
         )
 
-    qt_q = qt(q_i8, q_s, q_zp, q.shape, q.dtype, q_precision)
-    qt_k = qt(k_i8, k_s, k_zp, k.shape, k.dtype, k_precision)
-    qt_v = qt(v_i8, v_s, v_zp, v.shape, v.dtype, v_precision)
+    # pv_int8 V scales are per pv_chunk rows (the integer-dot contract),
+    # BLOCK-or-not.
+    v_eff = pv_chunk if pv_int8 else v_group
+    qt_q = qt(q_i8, q_s, q_zp, q.shape, q.dtype, q_precision, q_group)
+    qt_k = qt(k_i8, k_s, k_zp, k.shape, k.dtype, k_precision, k_group)
+    qt_v = qt(v_i8, v_s, v_zp, v.shape, v.dtype, v_precision, v_eff)
     return out, lse, qt_q, qt_k, qt_v, qm, vm
 
 
@@ -1133,8 +1196,9 @@ def fused_path_supported(
     """Whether the single-launch fused path can serve this call.
 
     The K/V VMEM caches (int8 + bf16 + scale rows, lane-padded to 128) must
-    fit the budget; non-ROW-granularity and config-level pv_int8 use the
-    two-pass route. INT4 operands are supported (quantized to the ±7 range
+    fit the budget; TENSOR/HYBRID granularity uses the two-pass route
+    (tensor-wide absmax needs a cross-tile reduction the single pass cannot
+    do; BLOCK and ROW quantize in registers). INT4 operands are supported (quantized to the ±7 range
     in registers, residuals nibble-packed at emission) when head_dim is
     even. `UMFA_DISABLE_FUSED_QUANT=1` forces the two-pass route
     (debug/ablation knob, mirroring UMFA_DISABLE_FUSED).
@@ -1143,7 +1207,7 @@ def fused_path_supported(
 
     if os.environ.get("UMFA_DISABLE_FUSED_QUANT", "0") == "1":
         return False
-    if config.mode != QuantMode.ROW:
+    if config.mode not in (QuantMode.ROW, QuantMode.BLOCK):
         return False
     # SYMMETRIC and ASYMMETRIC both run fused: the kernel's matmuls consume
     # the dequantized bf16 cache, so asymmetric needs only the affine
