@@ -49,9 +49,11 @@ compacted with a host-built cache-fill schedule (block_mask._fill_schedule:
 hold/fill scalar-prefetch tables — fills happen at each tile's first visit,
 every other step's DMA is elided). ASYMMETRIC strategy runs fused too (the
 affine deq feeds the same bf16 cache; zero points are emitted as extra
-residuals). Falls back (see quant_attention._qflash_fwd) for: non-ROW
-granularity, odd head_dim INT4, per-head masks under GQA, bias_grad with
-sparse residuals, and sequences whose K/V caches exceed the VMEM budget.
+residuals). BLOCK granularity quantizes in registers too (segment-max over
+the per-row stat column). Falls back (see quant_attention._qflash_fwd) for:
+TENSOR/HYBRID granularity, odd head_dim INT4, per-head masks under GQA,
+bias_grad with sparse residuals, ASYMMETRIC+pv_int8, and sequences whose
+K/V caches exceed the VMEM budget.
 """
 
 from __future__ import annotations
