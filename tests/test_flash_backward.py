@@ -90,3 +90,39 @@ def test_backward_bf16_grads_finite(rng):
     for g in got:
         assert g.dtype == jnp.bfloat16
         assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+def test_causal_diag_subtile_backward(rng):
+    """Backward causal diagonal fast path (dQ prefix-split, dK/dV
+    suffix-split, VERDICT r2 next #2/#3): plain causal defaults request
+    EQUAL bwd tiles so every partial tile is exactly diagonal, and the
+    sub-tiled path must match the reference bit-tight, GQA included."""
+    from umfa_tpu.ops.attention import flash_attention
+    from umfa_tpu.ops.flash_fwd import BlockSizes, _diag_subtile_count
+
+    # Path precondition sanity (shared helper with the forward).
+    assert _diag_subtile_count(1024, 1024, True, None, 4096, False) == 4
+    assert _diag_subtile_count(256, 256, True, None, 1024, False) == 2
+
+    bs = BlockSizes(
+        block_q=256, block_k=256, block_q_dq=256, block_k_dq=256,
+        block_q_dkv=256, block_k_dkv=256,
+    )
+    q, k, v = make_qkv(rng, 1, 4, 1024, 1024, 64, kv_heads=2)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(fn(q, k, v) ** 2)
+
+    got = jax.grad(
+        loss(lambda q, k, v: flash_attention(
+            q, k, v, causal=True, block_sizes=bs, interpret=True
+        )),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    want = jax.grad(
+        loss(lambda q, k, v: reference_attention(q, k, v, causal=True)),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for g, gr in zip(got, want):
+        rel = float(jnp.linalg.norm(g - gr) / jnp.linalg.norm(gr))
+        assert rel < 3e-5, rel

@@ -748,3 +748,34 @@ def test_block_mode_routes_through_fused_single_launch(rng):
     )(q)
     assert cosine(got, ref) > BWD_COSINE_MIN
     assert rel_err(got, ref) < BWD_REL_ERR_MAX
+
+
+def test_quantized_backward_causal_diag_parity(rng):
+    """The quantized backward's causal diagonal fast path (equal tiles)
+    must produce the SAME gradients as the standard masked path (unequal
+    tiles disable it) — diag-vs-nodiag relerr at bf16 reduction-order
+    noise, not STE-envelope level."""
+    import dataclasses
+
+    from umfa_tpu.ops.flash_fwd import BlockSizes
+
+    cfg = QuantizationConfig()
+    q, k, v = make_qkv(rng, 1, 4, 1024, 1024, 64, kv_heads=2)
+
+    bs_diag = BlockSizes(
+        block_q=256, block_k=256, block_q_dq=256, block_k_dq=256,
+        block_q_dkv=256, block_k_dkv=256,
+    )
+    bs_ref = dataclasses.replace(bs_diag, block_q_dq=512, block_q_dkv=512)
+
+    def grads(bs):
+        def loss(q, k, v):
+            return jnp.sum(quantized_flash_attention(
+                q, k, v, config=cfg, causal=True, block_sizes=bs,
+                interpret=True,
+            ) ** 2)
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    for name, a, b in zip(("dq", "dk", "dv"), grads(bs_diag), grads(bs_ref)):
+        d = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
+        assert d < 5e-6, (name, d)

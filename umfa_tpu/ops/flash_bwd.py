@@ -69,6 +69,18 @@ def _recompute_p(q, k, lse, bias_blk, *, scale, masked_args):
     return p
 
 
+def _tri_bias(w: int):
+    """Shared w×w additive causal triangle (col > row masked): exp
+    underflows masked lanes to exact 0, so the diagonal fast paths never
+    run a where() pass (see flash_fwd._do_update_diag)."""
+    return jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+        > jax.lax.broadcasted_iota(jnp.int32, (w, w), 0),
+        DEFAULT_MASK_VALUE,
+        0.0,
+    )
+
+
 def _dq_kernel(
     *refs,
     scale,
@@ -82,6 +94,7 @@ def _dq_kernel(
     has_bias,
     has_map,
     has_fetch=False,
+    diag_ns=0,
 ):
     refs = list(refs)
     fetch_ref = None
@@ -164,12 +177,69 @@ def _dq_kernel(
             precision=_mxu(k.dtype),
         )
 
+    def _do_update_diag():
+        # Causal diagonal fast path (bq == bk, aligned KV tail: the only
+        # partial tile is EXACTLY diagonal). q rows go in diag_ns sub-blocks
+        # of w; sub-block i touches only its visible column prefix
+        # [0, (i+1)·w) — prefix columns as a full dot, the trailing w×w
+        # corner with the shared triangle bias. ~(NS+1)/2NS of the full
+        # tile's MACs/exp, no where() passes (masked lanes underflow exp to
+        # exact 0, so their ds contribution vanishes identically).
+        w = block_q // diag_ns
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        tri = _tri_bias(w)
+        qf = q_ref[0, 0]
+        qf = (qf.astype(jnp.float32) * scale).astype(qf.dtype)
+        mxu = _mxu(k.dtype)
+        for i in range(diag_ns):
+            q_i = qf[i * w:(i + 1) * w, :]
+            do_i = do_ref[0, 0][i * w:(i + 1) * w, :].astype(jnp.float32)
+            lse_i = lse_ref[0, 0][i * w:(i + 1) * w, :]
+            delta_i = delta_ref[0, 0][i * w:(i + 1) * w, :]
+            n_pre = i * w
+            dq_i = jnp.zeros((w, q_i.shape[1]), jnp.float32)
+            for k0, nk, bias_tri in (
+                ((0, n_pre, None),) if n_pre else ()
+            ) + ((n_pre, w, tri),):
+                k_c = k[k0:k0 + nk, :]
+                v_c = v[k0:k0 + nk, :]
+                s = jax.lax.dot_general(
+                    q_i, k_c,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mxu,
+                )
+                if bias_tri is not None:
+                    s = s + bias_tri
+                p = jnp.exp(s - lse_i)
+                dp = jax.lax.dot_general(
+                    do_i.astype(v.dtype), v_c,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_mxu(v.dtype),
+                )
+                ds = p * (dp - delta_i)
+                dq_i = dq_i + jax.lax.dot_general(
+                    ds.astype(k.dtype), k_c,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mxu,
+                )
+            dq_scr[i * w:(i + 1) * w, :] += scale * dq_i
+
     masked = causal or window is not None or bool(seq_k % block_k)
     if masked:
-        # Interior tiles skip the VPU mask work (see flash_fwd._fwd_kernel).
-        @pl.when(jnp.logical_and(visible, partial))
-        def _compute_masked():
-            _do_update(True)
+        if diag_ns:
+            @pl.when(jnp.logical_and(visible, partial))
+            def _compute_diag():
+                _do_update_diag()
+        else:
+            # Interior tiles skip the VPU mask work (see
+            # flash_fwd._fwd_kernel).
+            @pl.when(jnp.logical_and(visible, partial))
+            def _compute_masked():
+                _do_update(True)
 
         @pl.when(jnp.logical_and(visible, jnp.logical_not(partial)))
         def _compute_full():
@@ -199,6 +269,7 @@ def _dkv_kernel(
     has_fetch=False,
     group=1,
     nq_logical=None,
+    diag_ns=0,
 ):
     refs = list(refs)
     fetch_ref = None
@@ -304,12 +375,78 @@ def _dkv_kernel(
             precision=_mxu(q.dtype),
         )
 
+    def _do_update_diag():
+        # Causal diagonal fast path, dK/dV orientation: k sub-block j (cols
+        # [j·w, (j+1)·w)) is visible only to the q-row SUFFIX [j·w, bq) —
+        # the triangular w×w corner (first w of those rows) plus a full dot
+        # for the rows below. Same ~(NS+1)/2NS work fraction as the dQ side.
+        w = block_k // diag_ns
+        q = q_ref[0, 0]
+        # scale folds into the S-dot operand only; the dK dot consumes the
+        # RAW q (dK = scale · dS^T @ q, scale applied once at accumulation).
+        qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        tri = _tri_bias(w)
+        mxu = _mxu(k.dtype)
+        for j in range(diag_ns):
+            k_j = k[j * w:(j + 1) * w, :]
+            v_j = v[j * w:(j + 1) * w, :]
+            dv_j = jnp.zeros((w, v_j.shape[1]), jnp.float32)
+            dk_j = jnp.zeros((w, k_j.shape[1]), jnp.float32)
+            n_post = block_q - (j + 1) * w
+            for r0, nr, bias_tri in (
+                ((j * w, w, tri),)
+                + ((((j + 1) * w, n_post, None),) if n_post else ())
+            ):
+                q_r = q[r0:r0 + nr, :]
+                do_r = do[r0:r0 + nr, :]
+                s = jax.lax.dot_general(
+                    qf[r0:r0 + nr, :], k_j,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mxu,
+                )
+                if bias_tri is not None:
+                    s = s + bias_tri
+                p = jnp.exp(s - lse[r0:r0 + nr, :])
+                dv_j = dv_j + jax.lax.dot_general(
+                    p.astype(v.dtype), do_r.astype(v.dtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_mxu(v.dtype),
+                )
+                dp = jax.lax.dot_general(
+                    do_r.astype(v.dtype), v_j,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_mxu(v.dtype),
+                )
+                ds = p * (dp - delta[r0:r0 + nr, :])
+                dk_j = dk_j + jax.lax.dot_general(
+                    ds.astype(q.dtype), q_r,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=mxu,
+                )
+            dv_scr[j * w:(j + 1) * w, :] += dv_j
+            dk_scr[j * w:(j + 1) * w, :] += scale * dk_j
+
     masked = causal or window is not None or bool(seq_k % block_k)
     if masked:
-        # Interior tiles skip the VPU mask work (see flash_fwd._fwd_kernel).
-        @pl.when(jnp.logical_and(visible, partial))
-        def _compute_masked():
-            _do_update(True)
+        if diag_ns:
+            @pl.when(jnp.logical_and(visible, partial))
+            def _compute_diag():
+                _do_update_diag()
+        else:
+            # Interior tiles skip the VPU mask work (see
+            # flash_fwd._fwd_kernel).
+            @pl.when(jnp.logical_and(visible, partial))
+            def _compute_masked():
+                _do_update(True)
 
         @pl.when(jnp.logical_and(visible, jnp.logical_not(partial)))
         def _compute_full():
@@ -563,13 +700,22 @@ def flash_attention_backward(
 
     # Compiled BlockMasks fix the tiling (see flash_fwd); otherwise use the
     # tuned q-tile request (r2 v5e sweep: (2048, 1024) beat the old
-    # (512, 1024) by 14% on the S=4096 training step).
-    block_q = _choose_block(
+    # (512, 1024) by 14% on the S=4096 training step). Plain causal requests
+    # EQUAL tiles (1024, 1024) instead: every partial tile is then exactly
+    # diagonal and the sub-tiled diagonal fast path engages (~37% of the
+    # diagonal tiles' MACs/exp deleted at NS=4), which outweighs the extra
+    # K/V re-reads of the smaller q-tile (~2-4% of step HBM time at S=4K).
+    q_req = (
         block_sizes.block_q_dq
         if block_map is not None
-        else block_sizes.bwd_q_request("block_q_dq"),
-        seq_q, head_dim,
+        else block_sizes.bwd_q_request("block_q_dq")
     )
+    if (
+        block_map is None and block_sizes == BlockSizes()
+        and causal and window is None and bias is None
+    ):
+        q_req = block_sizes.block_k_dq
+    block_q = _choose_block(q_req, seq_q, head_dim)
     block_k = _choose_block(block_sizes.block_k_dq, seq_k, head_dim)
 
     # D = rowsum(dO ∘ O) — FP32 per-row statistic (reference's D scratch,
@@ -733,6 +879,14 @@ def flash_attention_backward(
     if has_map:
         common_args.append(block_map)
 
+    from umfa_tpu.ops.flash_fwd import _diag_subtile_count
+
+    diag_ns = 0
+    if not has_fetch and not has_map:
+        diag_ns = _diag_subtile_count(
+            block_q, block_k, causal, window, seq_k, has_bias
+        )
+
     # ---- dQ pass ----
     dq_kernel = functools.partial(
         _dq_kernel,
@@ -744,6 +898,7 @@ def flash_attention_backward(
         ),  # finalize at the last (compacted) step
         has_bias=has_bias, has_map=has_map,
         has_fetch=has_fetch,
+        diag_ns=diag_ns,
     )
     dq_grid = (
         batch, num_heads, num_q_blocks,
@@ -810,6 +965,7 @@ def flash_attention_backward(
         has_fetch=has_fetch,
         group=group if use_group_reduce else 1,
         nq_logical=width,
+        diag_ns=diag_ns,
     )
     dkv_grid = (batch, dkv_heads, num_k_blocks, dkv_inner)
 

@@ -116,6 +116,7 @@ def _q_dq_kernel(
     has_map,
     has_fetch,
     has_vm,
+    diag_ns=0,
 ):
     refs = list(refs)
     fetch_ref = refs.pop(0) if has_fetch else None
@@ -210,12 +211,74 @@ def _q_dq_kernel(
             preferred_element_type=jnp.float32,
         )
 
+    def _do_update_diag():
+        # Causal diagonal fast path (see flash_bwd._dq_kernel's variant for
+        # the derivation): q sub-block i touches only its visible column
+        # prefix of the deq-on-load K/V tiles; one shared w×w triangle
+        # bias, no where() passes. The Q-mean compensation row (corr) and
+        # the V-mean dp term slice/broadcast along.
+        from umfa_tpu.ops.flash_bwd import _tri_bias
+
+        w = block_q // diag_ns
+        k_bf = _deq_bf16(k_ref[0, 0], ks_ref[0, 0], k_int4)
+        v_f = _deq_bf16(v_ref[0, 0], vs_ref[0, 0], v_int4)
+        corr_blk = corr_ref[0, 0] if corr_ref is not None else None
+        tri = _tri_bias(w)
+        do_t = do_ref[0, 0].astype(jnp.float32)
+        for i in range(diag_ns):
+            rows = slice(i * w, (i + 1) * w)
+            q_i = q_scr[rows, :]
+            do_i = do_t[rows, :]
+            lse_i = lse_ref[0, 0][rows, :]
+            delta_i = delta_ref[0, 0][rows, :]
+            vm_corr = None
+            if vm_ref is not None:
+                vm_corr = jnp.sum(
+                    do_i * vm_ref[0, 0], axis=-1, keepdims=True
+                )
+            n_pre = i * w
+            dq_i = jnp.zeros((w, q_i.shape[1]), jnp.float32)
+            for k0, nk, tb in (
+                ((0, n_pre, None),) if n_pre else ()
+            ) + ((n_pre, w, tri),):
+                k_c = k_bf[k0:k0 + nk, :]
+                s = jax.lax.dot_general(
+                    q_i, k_c,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if corr_blk is not None:
+                    s = s + corr_blk[0:1, k0:k0 + nk]
+                if tb is not None:
+                    s = s + tb
+                p = jnp.exp(s - lse_i)
+                dp = jax.lax.dot_general(
+                    do_i.astype(jnp.bfloat16), v_f[k0:k0 + nk, :],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if vm_corr is not None:
+                    dp = dp + vm_corr
+                ds = p * (dp - delta_i)
+                dq_i = dq_i + jax.lax.dot_general(
+                    ds.astype(jnp.bfloat16), k_c,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            dq_scr[rows, :] += scale * dq_i
+
     masked = causal or window is not None or bool(seq_k % block_k)
     if masked:
-        # Interior tiles skip the VPU mask work (see flash_fwd._fwd_kernel).
-        @pl.when(jnp.logical_and(visible, partial))
-        def _compute_masked():
-            _do_update(True)
+        if diag_ns:
+            @pl.when(jnp.logical_and(visible, partial))
+            def _compute_diag():
+                _do_update_diag()
+        else:
+            # Interior tiles skip the VPU mask work (see
+            # flash_fwd._fwd_kernel).
+            @pl.when(jnp.logical_and(visible, partial))
+            def _compute_masked():
+                _do_update(True)
 
         @pl.when(jnp.logical_and(visible, jnp.logical_not(partial)))
         def _compute_full():
@@ -251,6 +314,7 @@ def _q_dkv_kernel(
     has_vm,
     group=1,
     nq_logical=None,
+    diag_ns=0,
 ):
     refs = list(refs)
     fetch_ref = refs.pop(0) if has_fetch else None
@@ -364,12 +428,83 @@ def _q_dkv_kernel(
             colsum = jnp.sum(ds, axis=0, keepdims=True)  # (1, block_k)
             dk_scr[...] += scale * colsum.T * qm_ref[0, 0]
 
+    def _do_update_diag():
+        # Causal diagonal fast path, dK/dV orientation (see
+        # flash_bwd._dkv_kernel's variant): k sub-block j is visible only to
+        # the q-row suffix [j·w, bq); triangular corner + full dot below.
+        from umfa_tpu.ops.flash_bwd import _tri_bias
+
+        w = block_k // diag_ns
+        q_bf = _deq_bf16(q_ref[0, 0], qs_ref[0, 0], q_int4)
+        do_t = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        corr_blk = corr_ref[0, 0] if corr_ref is not None else None
+        tri = _tri_bias(w)
+        for j in range(diag_ns):
+            cols = slice(j * w, (j + 1) * w)
+            k_j = k_scr[cols, :]
+            v_j = v_scr[cols, :]
+            dv_j = jnp.zeros((w, v_j.shape[1]), jnp.float32)
+            dk_j = jnp.zeros((w, k_j.shape[1]), jnp.float32)
+            ds_colsum = jnp.zeros((1, w), jnp.float32) if qm_ref is not None else None
+            n_post = block_q - (j + 1) * w
+            for r0, nr, tb in (
+                ((j * w, w, tri),)
+                + ((((j + 1) * w, n_post, None),) if n_post else ())
+            ):
+                rows = slice(r0, r0 + nr)
+                q_r = q_bf[rows, :]
+                do_r = do_t[rows, :]
+                s = jax.lax.dot_general(
+                    q_r, k_j,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if corr_blk is not None:
+                    s = s + corr_blk[0:1, cols]
+                if tb is not None:
+                    s = s + tb
+                p = jnp.exp(s - lse[rows, :])
+                dv_j = dv_j + jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), do_r.astype(jnp.bfloat16),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dp = jax.lax.dot_general(
+                    do_r.astype(jnp.bfloat16), v_j,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if vm_ref is not None:
+                    dp = dp + jnp.sum(
+                        do_r * vm_ref[0, 0], axis=-1, keepdims=True
+                    )
+                ds = p * (dp - delta[rows, :])
+                dk_j = dk_j + jax.lax.dot_general(
+                    ds.astype(jnp.bfloat16), q_r,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if ds_colsum is not None:
+                    ds_colsum = ds_colsum + jnp.sum(ds, axis=0, keepdims=True)
+            if qm_ref is not None:
+                dk_j = dk_j + scale * ds_colsum.T * qm_ref[0, 0]
+            dv_scr[cols, :] += dv_j
+            dk_scr[cols, :] += dk_j
+
     masked = causal or window is not None or bool(seq_k % block_k)
     if masked:
-        # Interior tiles skip the VPU mask work (see flash_fwd._fwd_kernel).
-        @pl.when(jnp.logical_and(visible, partial))
-        def _compute_masked():
-            _do_update(True)
+        if diag_ns:
+            @pl.when(jnp.logical_and(visible, partial))
+            def _compute_diag():
+                _do_update_diag()
+        else:
+            # Interior tiles skip the VPU mask work (see
+            # flash_fwd._fwd_kernel).
+            @pl.when(jnp.logical_and(visible, partial))
+            def _compute_masked():
+                _do_update(True)
 
         @pl.when(jnp.logical_and(visible, jnp.logical_not(partial)))
         def _compute_full():
@@ -423,13 +558,20 @@ def quantized_attention_backward(
     interpret = interpret or jax.default_backend() == "cpu"
 
     # Compiled BlockMasks fix the tiling (see flash_fwd); otherwise use the
-    # tuned backward q-tile request (see flash_bwd).
-    block_q = _choose_block(
+    # tuned backward q-tile request (see flash_bwd). Plain causal requests
+    # EQUAL tiles so the sub-tiled diagonal fast path engages (see
+    # flash_bwd for the tradeoff).
+    q_req = (
         block_sizes.block_q_dq
         if block_map is not None
-        else block_sizes.bwd_q_request("block_q_dq"),
-        seq_q, head_dim,
+        else block_sizes.bwd_q_request("block_q_dq")
     )
+    if (
+        block_map is None and block_sizes == BlockSizes()
+        and causal and window is None and bias is None
+    ):
+        q_req = block_sizes.block_k_dq
+    block_q = _choose_block(q_req, seq_q, head_dim)
     block_k = _choose_block(block_sizes.block_k_dq, seq_k, head_dim)
 
     # D = rowsum(dO . O) (+ LSE cotangent folded: see flash_bwd).
@@ -711,6 +853,14 @@ def quantized_attention_backward(
         q_int4=dq_pack == 2, k_int4=dk_pack == 2, v_int4=dv_pack == 2
     )
 
+    from umfa_tpu.ops.flash_fwd import _diag_subtile_count
+
+    diag_ns = 0
+    if not has_fetch and not has_map:
+        diag_ns = _diag_subtile_count(
+            block_q, block_k, causal, window, seq_k, has_bias
+        )
+
     # ---- dQ pass ----
     dq_kernel = functools.partial(
         _q_dq_kernel,
@@ -720,6 +870,7 @@ def quantized_attention_backward(
         num_k_blocks=fetch_kv.shape[3] if has_fetch else num_k_blocks,
         has_corr=has_corr, has_bias=has_bias,
         has_map=has_map, has_fetch=has_fetch, has_vm=has_vm,
+        diag_ns=diag_ns,
         **int4_flags,
     )
     dq_grid = (
@@ -786,6 +937,7 @@ def quantized_attention_backward(
         has_corr=has_corr, has_bias=has_bias,
         has_map=has_map, has_fetch=has_fetch,
         has_qm=has_qm, has_vm=has_vm,
+        diag_ns=diag_ns,
         group=group if use_group_reduce else 1,
         nq_logical=dkv_width,
         **int4_flags,
