@@ -595,9 +595,13 @@ def _fused_qattn_kernel(
         # Causal diagonal fast path — same sub-tiled scheme as
         # flash_fwd._do_update_diag (see there for the derivation): q rows
         # in diag_ns sub-blocks, each attending only its visible column
-        # prefix of the (deq bf16) K/V caches; one shared w×w triangle bias,
-        # no where(s)/where(p) passes. The Q-mean compensation row (cc)
-        # slices along with the columns.
+        # prefix of the K/V caches; the w×w diagonal corner carries one
+        # shared triangle bias, no where(s)/where(p) passes. The Q-mean
+        # compensation row (cc) slices along with the columns. Under
+        # pv_int8 the prefix walks in pv_chunk-wide pieces, each with its
+        # own local-max offset-encoded int dot (see _do_update) — the
+        # triangle only ever lands on the last, diagonal chunk since
+        # pv_chunk divides w.
         w = block_q // diag_ns
         d = head_dim
         tri = jnp.where(
@@ -606,66 +610,91 @@ def _fused_qattn_kernel(
             DEFAULT_MASK_VALUE,
             0.0,
         )
+        cw = pv_chunk if pv_int8 else w
         for i in range(diag_ns):
             q_i = q_scr[pl.ds(i * w, w), :]
-            n_pre = i * w
-            s_diag = jax.lax.dot_general(
-                q_i, kcache[pl.ds(k_start + n_pre, w), :],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if cc is not None:
-                s_diag = s_diag + cc[0:1, pl.ds(k_start + n_pre, w)]
-            s_diag = s_diag + tri
-            m_cur = jnp.max(s_diag, axis=-1, keepdims=True)
-            if n_pre:
-                s_pre = jax.lax.dot_general(
-                    q_i, kcache[pl.ds(k_start, n_pre), :],
+            n_vis = (i + 1) * w
+            # Chunked score strip: prefix pieces (cw wide, or one n_pre-wide
+            # dot when not pv_int8) then the diagonal corner(s) with the
+            # triangle slice.
+            chunks = []  # (col0, s_chunk)
+            if not pv_int8:
+                spans = ([(0, i * w, None)] if i else []) + [(i * w, w, tri)]
+            else:
+                spans = [
+                    (c0, cw, tri[:, c0 - i * w:c0 - i * w + cw]
+                     if c0 >= i * w else None)
+                    for c0 in range(0, n_vis, cw)
+                ]
+            for c0, nc, tb in spans:
+                s_c = jax.lax.dot_general(
+                    q_i, kcache[pl.ds(k_start + c0, nc), :],
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 if cc is not None:
-                    s_pre = s_pre + cc[0:1, pl.ds(k_start, n_pre)]
+                    s_c = s_c + cc[0:1, pl.ds(k_start + c0, nc)]
+                if tb is not None:
+                    s_c = s_c + tb
+                chunks.append((c0, s_c))
+            m_cur = chunks[-1][1].max(axis=-1, keepdims=True)
+            for _, s_c in chunks[:-1]:
                 m_cur = jnp.maximum(
-                    m_cur, jnp.max(s_pre, axis=-1, keepdims=True)
+                    m_cur, jnp.max(s_c, axis=-1, keepdims=True)
                 )
             m_prev = m_scr[pl.ds(i * w, w), 0:1]
             l_prev = l_scr[pl.ds(i * w, w), 0:1]
             m_new = jnp.maximum(m_prev, m_cur)
             alpha = jnp.exp(m_prev - m_new)
-            p_diag = jnp.exp(s_diag - m_new)
-            v_diag = vcache[pl.ds(k_start + n_pre, w), :]
-            pv = jax.lax.dot_general(
-                p_diag.astype(v_diag.dtype), v_diag,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            psum_vpu = None
-            if not ones_col:
-                psum_vpu = jnp.sum(p_diag, axis=-1, keepdims=True)
-            if n_pre:
-                p_pre = jnp.exp(s_pre - m_new)
-                v_pre = vcache[pl.ds(k_start, n_pre), :]
-                pv = pv + jax.lax.dot_general(
-                    p_pre.astype(v_pre.dtype), v_pre,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                if psum_vpu is not None:
-                    psum_vpu = psum_vpu + jnp.sum(
-                        p_pre, axis=-1, keepdims=True
+            l_new = alpha * l_prev
+            acc = acc_scr[pl.ds(i * w, w), :] * alpha
+            for c0, s_c in chunks:
+                nc = s_c.shape[1]
+                if pv_int8:
+                    ml = jnp.max(s_c, axis=-1, keepdims=True)
+                    p8 = (
+                        jnp.round(jnp.exp(s_c - (ml - _LN_P_AMP_U)))
+                        - 128.0
+                    ).astype(jnp.int8)
+                    pv = jax.lax.dot_general(
+                        p8, vcache[pl.ds(k_start + c0, nc), :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                    ci = (k_start + c0) // pv_chunk
+                    pv = pv + 128.0 * vsums[pl.ds(ci, 1), :]
+                    beta = jnp.exp(ml - m_new)
+                    psum = (
+                        pv[:, d:d + 1] if ones_col
+                        else jnp.sum(
+                            p8.astype(jnp.float32) + 128.0,
+                            axis=-1, keepdims=True,
+                        )
                     )
-            psum = pv[:, d:d + 1] if ones_col else psum_vpu
-            l_new = alpha * l_prev + psum
+                    l_new = l_new + psum * beta
+                    sv_c = svc[0:1, pl.ds(k_start + c0, 1)]
+                    acc = acc + pv[:, :d] * (beta * sv_c)
+                else:
+                    p = jnp.exp(s_c - m_new)
+                    v_c = vcache[pl.ds(k_start + c0, nc), :]
+                    pv = jax.lax.dot_general(
+                        p.astype(v_c.dtype), v_c,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    psum = (
+                        pv[:, d:d + 1] if ones_col
+                        else jnp.sum(p, axis=-1, keepdims=True)
+                    )
+                    l_new = l_new + psum
+                    acc = acc + pv[:, :d]
             m_scr[pl.ds(i * w, w), :] = jnp.broadcast_to(
                 m_new, (w, m_scr.shape[1])
             )
             l_scr[pl.ds(i * w, w), :] = jnp.broadcast_to(
                 l_new, (w, l_scr.shape[1])
             )
-            acc_scr[pl.ds(i * w, w), :] = (
-                acc_scr[pl.ds(i * w, w), :] * alpha + pv[:, :d]
-            )
+            acc_scr[pl.ds(i * w, w), :] = acc
 
     masked = causal or window is not None or bool(seq_k % block_k)
     if masked:
@@ -792,6 +821,13 @@ def fused_quantize_attend(
         seq_q, head_dim,
     )
     block_k = _choose_block(block_sizes.block_k, seq_k, head_dim)
+    if (causal or window is not None) and block_map is None:
+        # Finer KV tiles let more fully-masked blocks skip (same clamp as
+        # the dense forward) — and equal tiles let the causal-diagonal
+        # sub-tile path engage (this clamp was MISSING here through r2:
+        # causal fused-quant ran bq=1024/bk=2048, so the r3 diag path never
+        # fired at defaults).
+        block_k = min(block_k, 1024)
 
     q_pad = _pad_seq(q, block_q, 2)
     k_pad = _pad_seq(k, block_k, 2)
@@ -808,10 +844,8 @@ def fused_quantize_attend(
     from umfa_tpu.ops.flash_fwd import _diag_subtile_count
 
     diag_ns = 0
-    if not has_fetch and not pv_int8:
-        # pv_int8 keeps integer P through the dot (the diag path's prefix
-        # split would need per-sub-block scale plumbing); fetch walks carry
-        # their own tile structure.
+    if not has_fetch:
+        # fetch walks carry their own tile structure.
         diag_ns = _diag_subtile_count(
             block_q, block_k, causal, window, seq_k, bias is not None
         )
@@ -823,6 +857,11 @@ def fused_quantize_attend(
     pv_chunk = min(256, block_k) if pv_int8 else 0
     while pv_chunk and block_k % pv_chunk:
         pv_chunk //= 2
+    if pv_int8 and diag_ns:
+        # The diagonal path's prefix walk re-uses the chunked integer dot;
+        # chunks must tile each w-wide sub-block exactly.
+        if (block_q // diag_ns) % pv_chunk:
+            diag_ns = 0
 
     # BLOCK granularity: one scale per quant_blocks.{q,k,v} rows. Floor to a
     # power of two and clamp to the kernel tile so the group always divides
