@@ -178,6 +178,8 @@ def _extras(results):
         "bf16_fused_ms": g("core", "bf16_fused", "ms"),
         "int8_ms": g("core", "int8_fused", "ms"),
         "int8_relerr": g("core", "int8_fused", "relerr_iid"),
+        "int8_pv_ms": g("core", "int8_pv_fused", "ms"),
+        "int8_pv_relerr": g("core", "int8_pv_fused", "relerr_iid"),
         "int4_ms": g("core", "int4_fused", "ms"),
         "int4_relerr_iid": g("core", "int4_fused", "relerr_iid"),
         "int4_relerr_struct": g("core", "int4_fused", "relerr_struct"),
@@ -259,6 +261,14 @@ def stage_core(cpu):
     # Default INT4 recipe: Q/K int4 + Hadamard (in-kernel), V int8.
     cfg4 = QuantizationConfig.from_mode_string("int4")
     int4 = jax.jit(lambda q, k, v: quantized_flash_attention(q, k, v, config=cfg4))
+    # Integer P·V (chunked local-max, offset-encoded — round 3): the one
+    # attention matmul with a real int8 MXU rate edge at D < 256.
+    import dataclasses as _dc
+
+    cfg8pv = _dc.replace(qcfg(Precision.INT8), pv_int8=True)
+    int8pv = jax.jit(
+        lambda q, k, v: quantized_flash_attention(q, k, v, config=cfg8pv)
+    )
 
     iters = 8 if on_cpu else 64
     _note("core: timing bf16 XLA SDPA")
@@ -269,6 +279,8 @@ def stage_core(cpu):
     t_int8 = time_op(int8, q, k, v, iters=iters)
     _note("core: timing int4 fused")
     t_int4 = time_op(int4, q, k, v, iters=iters)
+    _note("core: timing int8 pv_int8 fused")
+    t_int8pv = time_op(int8pv, q, k, v, iters=iters)
 
     # Accuracy vs FP32 reference on the same inputs.
     want = np.asarray(
@@ -282,6 +294,7 @@ def stage_core(cpu):
         return float(np.linalg.norm(x - ref) / np.linalg.norm(ref))
 
     err8 = relerr(int8(q, k, v), want)
+    err8pv = relerr(int8pv(q, k, v), want)
     err4 = relerr(int4(q, k, v), want)
     errb = relerr(fused(q, k, v), want)
 
@@ -328,6 +341,10 @@ def stage_core(cpu):
         "int8_fused": {
             "ms": t_int8 * 1e3, "tflops": tf(t_int8),
             "relerr_iid": err8, "relerr_struct": err8_s,
+        },
+        "int8_pv_fused": {
+            "ms": t_int8pv * 1e3, "tflops": tf(t_int8pv),
+            "relerr_iid": err8pv,
         },
         "int4_fused": {
             "ms": t_int4 * 1e3, "tflops": tf(t_int4),
