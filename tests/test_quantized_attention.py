@@ -779,3 +779,25 @@ def test_quantized_backward_causal_diag_parity(rng):
     for name, a, b in zip(("dq", "dk", "dv"), grads(bs_diag), grads(bs_ref)):
         d = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
         assert d < 5e-6, (name, d)
+
+
+def test_quantized_window_auto_tiled(rng):
+    """Plain window= through the QUANTIZED route gets the same analytic
+    tile auto-tuning as the dense route (route counter + parity + grads)."""
+    import umfa_tpu
+
+    q, k, v = make_qkv(rng, 1, 2, 2048, 2048, 64)
+    before = umfa_tpu.get_dispatch_stats().get("window_auto_tiled", 0)
+    out = quantized_flash_attention(q, k, v, window=(256, 0), interpret=True)
+    after = umfa_tpu.get_dispatch_stats().get("window_auto_tiled", 0)
+    assert after == before + 1, "quantized window= did not auto-tile"
+    want = reference_attention(q, k, v, window=(256, 0))
+    assert rel_err(out, want) < INT8_REL_ERR
+
+    g = jax.grad(lambda q: jnp.sum(quantized_flash_attention(
+        q, k, v, window=(256, 0), interpret=True
+    ) ** 2))(q)
+    gr = jax.grad(lambda q: jnp.sum(
+        reference_attention(q, k, v, window=(256, 0)) ** 2
+    ))(q)
+    assert cosine(g, gr) > 0.99

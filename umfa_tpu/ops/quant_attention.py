@@ -989,6 +989,26 @@ def quantized_flash_attention(
     forward AND backward (the reference's quantized path is mask-aware too:
     MFABridge+Quantized.swift:504-536).
     """
+    if (
+        block_mask is None
+        and bias is None
+        and window is not None
+        and block_sizes == BlockSizes()
+    ):
+        # Plain `window=` calls get the same analytic tile auto-tuning the
+        # dense route does (ops/attention.flash_attention): tile structure
+        # from a host-built BlockMask, intra-tile masking stays the
+        # kernel's index math. None = default walk already predicted fast.
+        from umfa_tpu.ops.block_mask import maybe_window_block_mask
+
+        block_mask = maybe_window_block_mask(
+            q.shape[2], k.shape[2], tuple(window), causal, q.shape[3]
+        )
+        if block_mask is not None:
+            from umfa_tpu.engine.stats import record_dispatch
+
+            record_dispatch("window_auto_tiled")
+
     block_map = fetch_kv = fetch_q = hold_kv = fill_kv = None
     if block_mask is not None:
         assert bias is None, "pass either bias or block_mask, not both"
