@@ -45,7 +45,7 @@ def main():
             rng.integers(0, cfg.vocab, (batch, ctx - 64)), jnp.int32
         )
         _, caches = jax.jit(
-            lambda p, t, c: gpt.forward_with_cache(p, t, c, cfg)
+            lambda p, t, c: gpt.forward_with_cache(p, t, c, cfg, prefill=True)
         )(params, prompt, caches)
 
         tok = jnp.asarray(rng.integers(0, cfg.vocab, (batch, 1)), jnp.int32)

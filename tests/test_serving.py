@@ -125,3 +125,38 @@ def test_cache_is_jittable(rng):
     out, cache = step(cache, k, k, q)
     assert out.shape == (1, 2, 1, 64)
     assert int(cache.length[0]) == 4
+
+
+def test_prefill_path_matches_generic(rng):
+    """decode_attention(prefill=True) (plain causal kernel, no materialized
+    intra-chunk bias) must match the generic Tq>1 biased path on an
+    empty-then-appended cache — dense and int8 caches."""
+    import jax.numpy as jnp
+
+    from umfa_tpu.serving import (
+        decode_attention,
+        init_cache,
+        init_quantized_cache,
+    )
+    from umfa_tpu.serving.kv_cache import append, append_quantized
+
+    B, H, T, S_max, D = 2, 2, 128, 256, 64
+    q = jnp.asarray(rng.normal(0, 1, (B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (B, H, T, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (B, H, T, D)), jnp.float32)
+
+    dense = append(init_cache(B, H, S_max, D, jnp.float32), k, v)
+    out_pf = decode_attention(q, dense, prefill=True, interpret=True)
+    out_gen = decode_attention(q, dense, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_pf), np.asarray(out_gen), atol=2e-5, rtol=2e-5
+    )
+
+    quant = append_quantized(init_quantized_cache(B, H, S_max, D), k, v)
+    out_pf = decode_attention(q, quant, prefill=True, interpret=True)
+    out_gen = decode_attention(q, quant, interpret=True)
+    rel = float(
+        jnp.linalg.norm(out_pf - out_gen) / jnp.linalg.norm(out_gen)
+    )
+    # Both paths quantize Q at runtime; tiny path-order differences only.
+    assert rel < 2e-2, rel

@@ -145,9 +145,14 @@ def forward_with_cache(
     tokens: jax.Array,
     caches,
     cfg: GPTConfig,
+    prefill: bool = False,
 ) -> Tuple[jax.Array, list]:
     """Incremental forward: append `tokens` (B, T) at each sequence's current
-    cache position; returns (logits (B, T, vocab), new caches)."""
+    cache position; returns (logits (B, T, vocab), new caches).
+
+    `prefill=True` (static): the caches were empty before this call — the
+    attention routes to the plain causal kernel with no materialized
+    intra-chunk bias (see serving.decode.decode_attention)."""
     b, t = tokens.shape
     x = params["embed"][tokens]
     start = caches[0].length[0]  # uniform-position decode
@@ -159,7 +164,9 @@ def forward_with_cache(
             cache = append_quantized(cache, k, v)
         else:
             cache = append(cache, k, v)
-        attn = decode_attention(q, cache, interpret=cfg.interpret)
+        attn = decode_attention(
+            q, cache, prefill=prefill, interpret=cfg.interpret
+        )
         new_caches.append(cache)
         x = _block_tail(block, x, attn.astype(x.dtype), cfg)
     return jnp.einsum("bsd,dv->bsv", _ln(x), params["unembed"]), new_caches
@@ -174,7 +181,7 @@ def generate(
 ) -> jax.Array:
     """Greedy generation with KV caches. prompt: (B, S0) → (B, S0 + steps)."""
     caches = init_caches(cfg, prompt.shape[0])
-    logits, caches = forward_with_cache(params, prompt, caches, cfg)
+    logits, caches = forward_with_cache(params, prompt, caches, cfg, prefill=True)
     tokens = prompt
     next_tok = jnp.argmax(logits[:, -1:], axis=-1)
     for _ in range(steps):

@@ -36,14 +36,51 @@ def decode_attention(
     cache: Union[KVCache, QuantizedKVCache],
     *,
     scale: Optional[float] = None,
+    prefill: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Attend new queries against a cache. q: (B, Hq, Tq, D) (Tq = 1 for
     token-by-token decode; larger for chunked prefill continuation).
     New-token causal structure: query t may see all cached tokens plus
     itself/earlier new tokens (standard decode semantics when the queries
-    were appended to the cache before calling)."""
+    were appended to the cache before calling).
+
+    `prefill=True` is a static promise that the cache was EMPTY before the
+    append that wrote these Tq tokens (every sequence at position 0). Then
+    query i may see exactly cache rows j <= i — plain causal structure over
+    the cache buffer, with rows beyond Tq-1 excluded by causality itself —
+    so the call routes to the causal fused kernel with NO bias at all. The
+    generic Tq>1 path materializes a (B, 1, Tq, S_max) f32 intra-chunk
+    bias, ~0.5 GB at (B=8, Tq~4K, S_max=4K) PER LAYER; prefill is the
+    common case that avoids it."""
     batch, hq, tq, d = q.shape
+    if prefill:
+        if isinstance(cache, QuantizedKVCache):
+            # Feed the cached INT8 rows straight into the quantized kernel
+            # (no dequantized copies in HBM), causal structure in-kernel.
+            hkv = cache.k_values.shape[1]
+            qt_q = quantize(q, Precision.INT8, QuantMode.ROW)
+            shape_k = (batch, hkv, cache.max_len, d)
+
+            def qt(values, scales):
+                return QuantizedTensor(
+                    values=values, scales=scales, zero_points=None,
+                    row_sums=None, precision=Precision.INT8,
+                    mode=QuantMode.ROW, strategy=QuantStrategy.SYMMETRIC,
+                    block_size=64, orig_shape=shape_k,
+                    orig_dtype=jnp.dtype(q.dtype),
+                )
+
+            out, _ = quantized_attention_forward(
+                qt_q, qt(cache.k_values, cache.k_scales),
+                qt(cache.v_values, cache.v_scales),
+                causal=True, scale=scale, interpret=interpret,
+            )
+            return out.astype(q.dtype)
+        return flash_attention(
+            q, cache.k, cache.v, causal=True, scale=scale,
+            interpret=interpret,
+        ).astype(q.dtype)
     bias = _length_bias(cache.length, cache.max_len)
     if tq > 1:
         # Intra-chunk causality relative to each sequence's position: query
