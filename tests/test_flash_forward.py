@@ -210,3 +210,41 @@ def test_causal_diag_subtile_path(rng):
         q, k, v, causal=True
     ) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("seq,causal,window", [
+    (384, True, None),       # aligned, multi-small-tile causal
+    (333, True, None),       # unaligned: KV tail padding + causal
+    (333, False, (64, 0)),   # unaligned + window
+    (130, True, None),       # barely above one lane tile
+])
+def test_odd_shape_parity(rng, seq, causal, window):
+    """Padding/diagonal interaction fuzz: unaligned sequence lengths through
+    forward AND gradients must match the reference (the diagonal fast paths
+    must correctly disable or stay exact under KV-tail padding)."""
+    from umfa_tpu.ops.attention import flash_attention
+
+    q, k, v = make_qkv(rng, 1, 2, seq, seq, 64)
+    bs = BlockSizes(
+        block_q=128, block_k=128, block_q_dq=128, block_k_dq=128,
+        block_q_dkv=128, block_k_dkv=128,
+    )
+    out = flash_attention(
+        q, k, v, causal=causal, window=window, block_sizes=bs,
+        interpret=True,
+    )
+    want = reference_attention(q, k, v, causal=causal, window=window)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), **TOL["fp32"]
+    )
+
+    g = jax.grad(lambda q: jnp.sum(flash_attention(
+        q, k, v, causal=causal, window=window, block_sizes=bs,
+        interpret=True,
+    ) ** 2))(q)
+    gr = jax.grad(lambda q: jnp.sum(reference_attention(
+        q, k, v, causal=causal, window=window
+    ) ** 2))(q)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(gr), atol=3e-4, rtol=3e-4
+    )

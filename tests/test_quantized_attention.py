@@ -801,3 +801,15 @@ def test_quantized_window_auto_tiled(rng):
         reference_attention(q, k, v, window=(256, 0)) ** 2
     ))(q)
     assert cosine(g, gr) > 0.99
+
+
+@pytest.mark.parametrize("seq,causal", [(333, True), (261, False)])
+def test_quantized_odd_shape_parity(rng, seq, causal):
+    """Unaligned sequence lengths through the fused quantized kernel
+    (KV-tail padding + causal diagonal interaction fuzz)."""
+    q, k, v = make_qkv(rng, 1, 2, seq, seq, 64)
+    out = quantized_flash_attention(
+        q, k, v, config=_cfg(Precision.INT8), causal=causal, interpret=True
+    )
+    want = reference_attention(q, k, v, causal=causal)
+    assert rel_err(out, want) < INT8_REL_ERR
