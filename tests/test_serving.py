@@ -160,3 +160,26 @@ def test_prefill_path_matches_generic(rng):
     )
     # Both paths quantize Q at runtime; tiny path-order differences only.
     assert rel < 2e-2, rel
+
+
+def test_chunked_continuation_matches_generic(rng):
+    """decode_attention(chunk_start=N) (window kernel, no materialized
+    bias) must match the generic traced-length path for a mid-stream
+    chunk append."""
+    import jax.numpy as jnp
+
+    from umfa_tpu.serving import decode_attention, init_cache
+    from umfa_tpu.serving.kv_cache import append
+
+    B, H, S_max, D = 2, 2, 512, 64
+    T0, T1 = 128, 64  # prefill 128, then continue with a 64-token chunk
+    mk = lambda t: jnp.asarray(rng.normal(0, 1, (B, H, t, D)), jnp.float32)
+    cache = append(init_cache(B, H, S_max, D, jnp.float32), mk(T0), mk(T0))
+    cache = append(cache, mk(T1), mk(T1))
+    q = mk(T1)
+
+    out_fast = decode_attention(q, cache, chunk_start=T0, interpret=True)
+    out_gen = decode_attention(q, cache, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_fast), np.asarray(out_gen), atol=2e-5, rtol=2e-5
+    )

@@ -146,6 +146,7 @@ def forward_with_cache(
     caches,
     cfg: GPTConfig,
     prefill: bool = False,
+    chunk_start=None,
 ) -> Tuple[jax.Array, list]:
     """Incremental forward: append `tokens` (B, T) at each sequence's current
     cache position; returns (logits (B, T, vocab), new caches).
@@ -165,7 +166,8 @@ def forward_with_cache(
         else:
             cache = append(cache, k, v)
         attn = decode_attention(
-            q, cache, prefill=prefill, interpret=cfg.interpret
+            q, cache, prefill=prefill, chunk_start=chunk_start,
+            interpret=cfg.interpret,
         )
         new_caches.append(cache)
         x = _block_tail(block, x, attn.astype(x.dtype), cfg)

@@ -37,6 +37,7 @@ def decode_attention(
     *,
     scale: Optional[float] = None,
     prefill: bool = False,
+    chunk_start: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Attend new queries against a cache. q: (B, Hq, Tq, D) (Tq = 1 for
@@ -45,19 +46,26 @@ def decode_attention(
     itself/earlier new tokens (standard decode semantics when the queries
     were appended to the cache before calling).
 
-    `prefill=True` is a static promise that the cache was EMPTY before the
-    append that wrote these Tq tokens (every sequence at position 0). Then
-    query i may see exactly cache rows j <= i — plain causal structure over
-    the cache buffer, with rows beyond Tq-1 excluded by causality itself —
-    so the call routes to the causal fused kernel with NO bias at all. The
-    generic Tq>1 path materializes a (B, 1, Tq, S_max) f32 intra-chunk
-    bias, ~0.5 GB at (B=8, Tq~4K, S_max=4K) PER LAYER; prefill is the
-    common case that avoids it."""
+    `chunk_start` is a STATIC promise that every sequence sat at that cache
+    position before the append that wrote these Tq tokens (the host-side
+    scheduler knows it). Then query i may see exactly cache rows
+    j <= chunk_start + i — a sliding window (left=-1, right=chunk_start) in
+    kernel index math, with garbage rows past chunk_start+Tq-1 excluded by
+    the window itself — so the call routes to the fused kernels with NO
+    bias materialized. `prefill=True` is sugar for chunk_start=0 (empty
+    cache → plain causal). The generic Tq>1 fallback (per-sequence traced
+    lengths) materializes a (B, 1, Tq, S_max) f32 intra-chunk bias —
+    ~0.5 GB at (B=8, Tq~4K, S_max=4K) PER LAYER; pass chunk_start whenever
+    positions are uniform and host-known."""
     batch, hq, tq, d = q.shape
-    if prefill:
+    if prefill and chunk_start is None:
+        chunk_start = 0
+    if chunk_start is not None:
+        causal = chunk_start == 0
+        window = None if causal else (-1, int(chunk_start))
         if isinstance(cache, QuantizedKVCache):
             # Feed the cached INT8 rows straight into the quantized kernel
-            # (no dequantized copies in HBM), causal structure in-kernel.
+            # (no dequantized copies in HBM), structure in-kernel.
             hkv = cache.k_values.shape[1]
             qt_q = quantize(q, Precision.INT8, QuantMode.ROW)
             shape_k = (batch, hkv, cache.max_len, d)
@@ -74,11 +82,12 @@ def decode_attention(
             out, _ = quantized_attention_forward(
                 qt_q, qt(cache.k_values, cache.k_scales),
                 qt(cache.v_values, cache.v_scales),
-                causal=True, scale=scale, interpret=interpret,
+                causal=causal, window=window, scale=scale,
+                interpret=interpret,
             )
             return out.astype(q.dtype)
         return flash_attention(
-            q, cache.k, cache.v, causal=True, scale=scale,
+            q, cache.k, cache.v, causal=causal, window=window, scale=scale,
             interpret=interpret,
         ).astype(q.dtype)
     bias = _length_bias(cache.length, cache.max_len)
