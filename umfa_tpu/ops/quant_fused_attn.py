@@ -81,20 +81,17 @@ from umfa_tpu.ops.flash_fwd import (
 from umfa_tpu.ops.quant import QuantizedTensor
 
 _QMAX = 127.0
-# P-quantization scale folded into the exp argument: p~ = exp(s - m + ln A)
-# = A*p with A chosen so round-to-nearest never exceeds 127 (A*1 rounds to
-# 127). The SAME rounded p^ feeds both the P*V matmul and the row-sum (ones
+# Integer-P·V amplitude, folded into the exp argument:
+# p^ = round(exp(s - ml + ln A)) - 128 = round(A·p_loc) - 128 with ml each
+# pv_chunk's LOCAL row max (p_loc hits 1.0 somewhere in every live chunk,
+# so the full range is used per chunk) and A = 255.49: p >= 0 never uses
+# int8's sign bit, so offset-encoding into the signed range doubles the
+# resolution; the -128 is undone by a precomputed rank-1 vsum add after
+# the dot. The SAME p^ feeds both the P·V matmul and the row-sum (ones
 # column of the same int dot), so rows stay exactly normalized in the
-# weights actually applied. r2 used truncation against the RUNNING max,
-# which zeroed every weight below 1/A — 8.7% relerr on iid scores; round 3
-# rounds against each pv_chunk's LOCAL max instead (see _do_update), which
-# lands ~1.7%.
-_P_AMP = 127.49
-_LN_P_AMP = math.log(_P_AMP)
-# Offset-encoded P amplitude: p >= 0 never uses int8's sign bit, so the
-# fused kernel stores p8 = round(A*p) - 128 with A = 255.49 (the full 510
-# half-levels of int8) and corrects the -128 with a precomputed rank-1
-# vsum term after the integer dot. Halves the P rounding noise for free.
+# weights actually applied. History: r2 truncated against the RUNNING max,
+# zeroing every weight below 1/A — 8.7% relerr on iid scores; this scheme
+# lands ~1.0-1.5%.
 _P_AMP_U = 255.49
 _LN_P_AMP_U = math.log(_P_AMP_U)
 
