@@ -107,6 +107,34 @@ def test_mla_sparse_indexer(rng):
     assert not np.allclose(np.asarray(out), np.asarray(dense))
 
 
+def test_mla_decode_matches_forward(rng):
+    """Latent-cache decode (absorbed weights) reproduces the causal forward
+    pass: prefill one chunk, then decode token-by-token; every decoded
+    position must match the full forward's output at that position."""
+    from umfa_tpu.serving.kv_cache import init_latent_cache
+
+    cfg = mla_model.MLAConfig(dim=256, num_heads=4, latent_dim=32,
+                              dtype="float32", causal=True, interpret=True)
+    params = mla_model.init_params(jax.random.PRNGKey(0), cfg)
+    s = 24
+    x = jnp.asarray(rng.normal(0, 1, (2, s, 256)), jnp.float32)
+    full = np.asarray(mla_model.forward(params, x, cfg))
+
+    cache = init_latent_cache(2, s, cfg.latent_dim, jnp.float32)
+    prefill = 16
+    y_pre, cache = mla_model.decode_step(params, x[:, :prefill], cache, cfg)
+    np.testing.assert_allclose(
+        np.asarray(y_pre), full[:, :prefill], atol=2e-3, rtol=2e-3
+    )
+    for t in range(prefill, s):
+        y_t, cache = mla_model.decode_step(
+            params, x[:, t : t + 1], cache, cfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_t)[:, 0], full[:, t], atol=2e-3, rtol=2e-3
+        )
+
+
 @pytest.mark.multidevice
 def test_graft_entry_dryrun():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -145,6 +145,62 @@ def test_sparse_indexer_scores(rng):
     assert (np.asarray(s) >= 0).all()
 
 
+def test_mla_absorbed_decode_identity(rng):
+    """Absorbed decode == decompress-then-attend (exact algebraic identity
+    Q·Kᵀ = (Q·W_kᵀ)·latentᵀ, P·V = (P·latent)·W_v)."""
+    from umfa_tpu.ops.mla import mla_absorbed_decode
+
+    q = jnp.asarray(rng.normal(0, 1, (2, 4, 1, 64)), jnp.float32)
+    latent = jnp.asarray(rng.normal(0, 1, (2, 48, 32)), jnp.float32)
+    w_k = jnp.asarray(rng.normal(0, 0.2, (32, 256)), jnp.float32)
+    w_v = jnp.asarray(rng.normal(0, 0.2, (32, 256)), jnp.float32)
+    out = mla_absorbed_decode(q, latent, w_k, w_v)
+    k, v = mla_decompress(latent, w_k, w_v, num_heads=4)
+    want = reference_attention(q, k, v)
+    np.testing.assert_allclose(out, want, atol=2e-4, rtol=2e-4)
+
+
+def test_mla_absorbed_decode_length_mask(rng):
+    """Rows past each sequence's fill length must not contribute."""
+    from umfa_tpu.ops.mla import mla_absorbed_decode
+
+    q = jnp.asarray(rng.normal(0, 1, (2, 4, 1, 64)), jnp.float32)
+    latent = jnp.asarray(rng.normal(0, 1, (2, 48, 32)), jnp.float32)
+    w_k = jnp.asarray(rng.normal(0, 0.2, (32, 256)), jnp.float32)
+    w_v = jnp.asarray(rng.normal(0, 0.2, (32, 256)), jnp.float32)
+    length = jnp.asarray([16, 48], jnp.int32)
+    out = mla_absorbed_decode(q, latent, w_k, w_v, length=length)
+    # Garbage in the dead tail must not change the result.
+    poisoned = latent.at[0, 16:].set(1e4)
+    out_p = mla_absorbed_decode(q, poisoned, w_k, w_v, length=length)
+    np.testing.assert_allclose(out, out_p, atol=1e-6, rtol=1e-6)
+    k, v = mla_decompress(latent[:1, :16], w_k, w_v, num_heads=4)
+    want0 = reference_attention(q[:1], k, v)
+    np.testing.assert_allclose(out[:1], want0, atol=2e-4, rtol=2e-4)
+
+
+def test_mla_absorbed_decode_chunk_causal(rng):
+    """Tq>1 continuation: query i sees cache rows <= chunk_start+i."""
+    from umfa_tpu.ops.mla import mla_absorbed_decode
+
+    tq, start, s_max = 8, 16, 24
+    q = jnp.asarray(rng.normal(0, 1, (1, 4, tq, 64)), jnp.float32)
+    latent = jnp.asarray(rng.normal(0, 1, (1, s_max, 32)), jnp.float32)
+    w_k = jnp.asarray(rng.normal(0, 0.2, (32, 256)), jnp.float32)
+    w_v = jnp.asarray(rng.normal(0, 0.2, (32, 256)), jnp.float32)
+    out = mla_absorbed_decode(
+        q, latent, w_k, w_v,
+        length=jnp.asarray([s_max], jnp.int32), chunk_start=start,
+    )
+    k, v = mla_decompress(latent, w_k, w_v, num_heads=4)
+    bias = jnp.where(
+        jnp.arange(s_max)[None, :] > start + jnp.arange(tq)[:, None],
+        -1e30, 0.0,
+    )
+    want = reference_attention(q, k, v, bias)
+    np.testing.assert_allclose(out, want, atol=2e-4, rtol=2e-4)
+
+
 def test_mla_attention_end_to_end(rng):
     q = jnp.asarray(rng.normal(0, 1, (1, 4, 64, 64)), jnp.float32)
     latent = jnp.asarray(rng.normal(0, 1, (1, 64, 32)), jnp.float32)

@@ -42,7 +42,11 @@ from umfa_tpu.ops.quant import quantize, dequantize, QuantizedTensor
 from umfa_tpu.ops.gemm import quantize_weight, quantized_matmul
 from umfa_tpu.ops.rope import apply_rope, rope_attention
 from umfa_tpu.ops.hadamard import hadamard_rotate
-from umfa_tpu.ops.mla import mla_decompress, sparse_indexer_scores
+from umfa_tpu.ops.mla import (
+    mla_absorbed_decode,
+    mla_decompress,
+    sparse_indexer_scores,
+)
 
 __version__ = "0.1.0"
 
@@ -74,6 +78,7 @@ __all__ = [
     "apply_rope",
     "rope_attention",
     "hadamard_rotate",
+    "mla_absorbed_decode",
     "mla_decompress",
     "sparse_indexer_scores",
 ]

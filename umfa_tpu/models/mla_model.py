@@ -90,3 +90,25 @@ def attend(params: dict, x: jax.Array, latent: jax.Array, cfg: MLAConfig):
 def forward(params: dict, x: jax.Array, cfg: MLAConfig):
     latent = compress_kv(params, x)
     return x + attend(params, x, latent, cfg)
+
+
+def decode_step(params: dict, x: jax.Array, cache, cfg: MLAConfig):
+    """Serving decode step over a LatentKVCache: compress the new tokens'
+    latent, append, then attend against the latent cache via weight
+    absorption (`mla_absorbed_decode`) — the cache read per step is
+    B·S·L bytes, not 2·B·H·S·D. x: (B, Tq, dim). Returns (y, cache')."""
+    from umfa_tpu.ops.mla import mla_absorbed_decode
+    from umfa_tpu.serving.kv_cache import append_latent
+
+    b, tq, dim = x.shape
+    chunk_start = cache.length
+    cache = append_latent(cache, compress_kv(params, x))
+    q = jnp.einsum("bsd,de->bse", x, params["wq"])
+    q = q.reshape(b, tq, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
+    out = mla_absorbed_decode(
+        q, cache.latent, params["w_k_up"], params["w_v_up"],
+        length=cache.length,
+        chunk_start=chunk_start if tq > 1 else None,
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(b, tq, dim).astype(x.dtype)
+    return x + jnp.einsum("bsd,de->bse", out, params["wo"]), cache

@@ -71,6 +71,83 @@ def sparse_indexer_scores(
     return jax.nn.relu(s * scale)
 
 
+def mla_absorbed_decode(
+    q: jax.Array,
+    latent: jax.Array,
+    w_k_up: jax.Array,
+    w_v_up: jax.Array,
+    *,
+    length: Optional[jax.Array] = None,
+    chunk_start: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Decode attention DIRECTLY against the latent cache via weight
+    absorption — the serving-side complement to `mla_decompress`.
+
+    Since K = latent @ W_k, the scores obey the exact identity
+        Q·Kᵀ = (Q·W_kᵀ)·latentᵀ
+    so attention runs entirely in latent space: absorb W_k into the query
+    (per head), take softmax over latent-space scores, contract P against
+    the latent, and un-absorb through W_v. The cache that decode READS is
+    the (B, S, L) latent — L bytes/token instead of 2·H·D — which is the
+    whole point of MLA in the memory-bound decode regime (reference:
+    docs/MLA_FFI_Implementation.md; DeepSeek-V2 §2.1 absorbed inference).
+    FLOPs grow from H·D to H·L per cached token; decode is
+    bandwidth-bound, so trading (L/D)× FLOPs for (2·H·D/L)× fewer bytes
+    wins whenever the cache doesn't fit in cache hierarchy.
+
+    q: (B, H, Tq, D) new-token queries (Tq small: token decode or short
+       continuation chunks). w_k_up/w_v_up: (L, H*D).
+    length: (B,) cache fill AFTER the append that wrote these Tq tokens;
+       rows past a sequence's fill are masked.
+    chunk_start: (B,) or scalar fill BEFORE the append — enables intra-chunk
+       causality for Tq>1 (query i sees cache rows j <= chunk_start+i).
+    """
+    b, h, tq, d = q.shape
+    lat = w_k_up.shape[0]
+    if scale is None:
+        scale = d**-0.5
+    fp32 = q.dtype == jnp.float32
+    mxu = jax.lax.Precision.HIGHEST if fp32 else jax.lax.Precision.DEFAULT
+    cdt = jnp.float32 if fp32 else jnp.bfloat16
+
+    wk = w_k_up.reshape(lat, h, d).astype(cdt)
+    wv = w_v_up.reshape(lat, h, d).astype(cdt)
+    # Absorb W_k into the query: (B,H,Tq,L). Cost B·Tq·H·D·L — per new
+    # token, not per cached token.
+    q_lat = jnp.einsum(
+        "bhtd,lhd->bhtl", q.astype(cdt), wk,
+        precision=mxu, preferred_element_type=jnp.float32,
+    ).astype(cdt)
+    s = jnp.einsum(
+        "bhtl,bsl->bhts", q_lat, latent.astype(cdt),
+        precision=mxu, preferred_element_type=jnp.float32,
+    ) * scale
+    s_max = latent.shape[1]
+    if length is not None:
+        pos = jnp.arange(s_max)[None, :]
+        dead = pos >= length[:, None]            # (B, S_max)
+        s = jnp.where(dead[:, None, None, :], -1e30, s)
+    if chunk_start is not None and tq > 1:
+        start = jnp.asarray(chunk_start)
+        if start.ndim == 0:
+            start = jnp.broadcast_to(start, (b,))
+        qpos = start[:, None] + jnp.arange(tq)[None, :]      # (B, Tq)
+        future = jnp.arange(s_max)[None, None, :] > qpos[..., None]
+        s = jnp.where(future[:, None], -1e30, s)
+    p = jax.nn.softmax(s, axis=-1)
+    o_lat = jnp.einsum(
+        "bhts,bsl->bhtl", p.astype(cdt), latent.astype(cdt),
+        precision=mxu, preferred_element_type=jnp.float32,
+    ).astype(cdt)
+    # Un-absorb through W_v: V-side identity P·V = (P·latent)·W_v.
+    out = jnp.einsum(
+        "bhtl,lhd->bhtd", o_lat, wv,
+        precision=mxu, preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
 def mla_attention(
     q: jax.Array,
     latent: jax.Array,

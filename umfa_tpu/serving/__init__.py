@@ -9,16 +9,22 @@ line of work in PAPERS.md.
 
 from umfa_tpu.serving.kv_cache import (
     KVCache,
+    LatentKVCache,
     QuantizedKVCache,
+    append_latent,
     init_cache,
+    init_latent_cache,
     init_quantized_cache,
 )
 from umfa_tpu.serving.decode import decode_attention
 
 __all__ = [
     "KVCache",
+    "LatentKVCache",
     "QuantizedKVCache",
+    "append_latent",
     "init_cache",
+    "init_latent_cache",
     "init_quantized_cache",
     "decode_attention",
 ]

@@ -59,6 +59,31 @@ class QuantizedKVCache:
         return self.k_values.shape[2]
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class LatentKVCache:
+    """MLA latent cache: stores the COMPRESSED per-token latent instead of
+    decompressed K/V. One (B, S_max, L) buffer replaces two (B, H, S_max, D)
+    buffers — for DeepSeek geometry (L=512 vs 2·H·D=32768) that is a 64×
+    smaller cache, and decode reads L bytes/token instead of 2·H·D
+    (reference MLA rationale: docs/MLA_FFI_Implementation.md, the 32×
+    compression claim in examples/deepseek-v3.2-exp/README.md)."""
+
+    latent: jax.Array   # (B, S_max, L)
+    length: jax.Array   # (B,) int32
+
+    def tree_flatten(self):
+        return (self.latent, self.length), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def max_len(self) -> int:
+        return self.latent.shape[1]
+
+
 def init_cache(batch, num_kv_heads, max_len, head_dim, dtype=jnp.bfloat16):
     return KVCache(
         k=jnp.zeros((batch, num_kv_heads, max_len, head_dim), dtype),
@@ -93,6 +118,28 @@ def append(cache: KVCache, k_new: jax.Array, v_new: jax.Array) -> KVCache:
     k = jax.vmap(_update_rows)(cache.k, k_new, cache.length)
     v = jax.vmap(_update_rows)(cache.v, v_new, cache.length)
     return KVCache(k=k, v=v, length=cache.length + t)
+
+
+def init_latent_cache(batch, max_len, latent_dim, dtype=jnp.bfloat16):
+    return LatentKVCache(
+        latent=jnp.zeros((batch, max_len, latent_dim), dtype),
+        length=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def append_latent(cache: LatentKVCache, latent_new: jax.Array) -> LatentKVCache:
+    """Append T new latent rows per sequence. latent_new: (B, T, L)."""
+    t = latent_new.shape[1]
+
+    def upd(buf, new, start):
+        return jax.lax.dynamic_update_slice(
+            buf, new.astype(buf.dtype), (start, 0)
+        )
+
+    return LatentKVCache(
+        latent=jax.vmap(upd)(cache.latent, latent_new, cache.length),
+        length=cache.length + t,
+    )
 
 
 def _rowwise_quant(x):
