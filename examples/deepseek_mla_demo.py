@@ -1,7 +1,9 @@
-"""DeepSeek-style MLA demo: latent KV compression + sparse indexer.
+"""DeepSeek-style demo: MLA latent KV compression, sparse indexer, MoE
+routing, and latent-cache generation.
 
 Parity: examples/deepseek-v3.2-exp (MLA with 32x KV compression, sparse-
-attention indexer, random-weight demo — SURVEY.md §2.2).
+attention indexer, MoE 256-experts/8-active routing, random-weight
+generate loop — SURVEY.md §2.2).
 
 Run: python examples/deepseek_mla_demo.py
 """
@@ -43,6 +45,21 @@ def main():
     )
     out_sparse = mla_model.forward(params, x, sparse_cfg)
     print("MLA + sparse indexer (top-128):", out_sparse.shape)
+
+    # Full random-weight model: MLA attention + MoE FFN + shared expert,
+    # generation against the latent cache (absorbed-weight decode).
+    from umfa_tpu.models import deepseek
+
+    dcfg = deepseek.DeepSeekConfig(
+        vocab=512, dim=512, num_heads=8, latent_dim=64, depth=2,
+        num_experts=16, top_k=4, n_shared=1, moe_hidden=512,
+        dtype="bfloat16", interpret=interpret,
+    )
+    dparams = deepseek.init_params(jax.random.PRNGKey(1), dcfg)
+    prompt = jnp.asarray(rng.integers(0, 512, (1, 16)), jnp.int32)
+    tokens = deepseek.generate(dparams, prompt, dcfg, max_new_tokens=8)
+    print("MoE model generate (16 experts / 4 active, latent-cache decode):",
+          np.asarray(tokens)[0].tolist())
 
 
 if __name__ == "__main__":

@@ -135,6 +135,60 @@ def test_mla_decode_matches_forward(rng):
         )
 
 
+def test_deepseek_decode_matches_forward(rng):
+    """Full DeepSeek-style model: logits from the latent-cache decode path
+    (prefill chunk + token steps) match the training forward's logits."""
+    from umfa_tpu.models import deepseek
+
+    cfg = deepseek.DeepSeekConfig(
+        vocab=64, dim=128, num_heads=4, latent_dim=16, depth=2,
+        num_experts=4, top_k=2, n_shared=1, moe_hidden=64,
+        dtype="float32", interpret=True,
+    )
+    params = deepseek.init_params(jax.random.PRNGKey(0), cfg)
+    s = 12
+    tokens = jnp.asarray(rng.integers(0, 64, (2, s)), jnp.int32)
+    full_logits, aux = deepseek.forward(params, tokens, cfg)
+    assert np.isfinite(np.asarray(full_logits)).all()
+    assert float(aux) >= cfg.depth * (1.0 - 1e-5)
+
+    caches = deepseek.init_caches(cfg, 2, s)
+    prefill = 8
+    logits, caches = deepseek.decode_step(
+        params, tokens[:, :prefill], caches, cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full_logits)[:, prefill - 1],
+        atol=5e-3, rtol=5e-3,
+    )
+    for t in range(prefill, s):
+        logits, caches = deepseek.decode_step(
+            params, tokens[:, t : t + 1], caches, cfg
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(full_logits)[:, t],
+            atol=5e-3, rtol=5e-3,
+        )
+
+
+def test_deepseek_generate(rng):
+    from umfa_tpu.models import deepseek
+
+    cfg = deepseek.DeepSeekConfig(
+        vocab=64, dim=128, num_heads=4, latent_dim=16, depth=1,
+        num_experts=4, top_k=2, moe_hidden=64,
+        dtype="float32", interpret=True,
+    )
+    params = deepseek.init_params(jax.random.PRNGKey(1), cfg)
+    prompt = jnp.asarray(rng.integers(0, 64, (2, 6)), jnp.int32)
+    out = deepseek.generate(params, prompt, cfg, max_new_tokens=5)
+    assert out.shape == (2, 5)
+    assert ((np.asarray(out) >= 0) & (np.asarray(out) < 64)).all()
+    # greedy generation is deterministic
+    out2 = deepseek.generate(params, prompt, cfg, max_new_tokens=5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
 @pytest.mark.multidevice
 def test_graft_entry_dryrun():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
