@@ -280,3 +280,76 @@ def test_quantized_ring_accuracy_penalty_bounded(rng):
     # stay inside the absolute int8 envelope.
     assert err_ring < 0.03, err_ring
     assert err_ring <= err_single * 1.5 + 5e-3, (err_ring, err_single)
+
+
+# ---------------- pipeline parallelism ----------------
+
+def _mlp_stage(p, x):
+    return jnp.tanh(x @ p["w"]) + p["b"]
+
+
+def _stacked_mlp(key, stages, dim):
+    keys = jax.random.split(key, 2)
+    return {
+        "w": jax.random.normal(keys[0], (stages, dim, dim), jnp.float32)
+        * dim**-0.5,
+        "b": jax.random.normal(keys[1], (stages, dim), jnp.float32) * 0.1,
+    }
+
+
+@pytest.mark.parametrize("pp,micro", [(4, 8), (8, 8), (2, 2)])
+def test_pipeline_matches_sequential(rng, pp, micro):
+    from jax.sharding import Mesh
+    from umfa_tpu.parallel import pipeline_apply
+
+    dim, batch = 16, 16
+    params = _stacked_mlp(jax.random.PRNGKey(0), pp, dim)
+    x = jnp.asarray(rng.normal(0, 1, (batch, dim)), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:pp]), ("pp",))
+    out = pipeline_apply(
+        _mlp_stage, params, x, mesh=mesh, axis="pp", num_microbatches=micro
+    )
+    want = x
+    for i in range(pp):
+        want = _mlp_stage({"w": params["w"][i], "b": params["b"][i]}, want)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_grads(rng):
+    from jax.sharding import Mesh
+    from umfa_tpu.parallel import pipeline_apply
+
+    pp, dim, batch = 4, 8, 8
+    params = _stacked_mlp(jax.random.PRNGKey(1), pp, dim)
+    x = jnp.asarray(rng.normal(0, 1, (batch, dim)), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:pp]), ("pp",))
+
+    def loss_pipe(p):
+        y = pipeline_apply(_mlp_stage, p, x, mesh=mesh, axis="pp",
+                           num_microbatches=4)
+        return jnp.sum(y**2)
+
+    def loss_seq(p):
+        y = x
+        for i in range(pp):
+            y = _mlp_stage({"w": p["w"][i], "b": p["b"][i]}, y)
+        return jnp.sum(y**2)
+
+    g_pipe = jax.grad(loss_pipe)(params)
+    g_seq = jax.grad(loss_seq)(params)
+    for k in g_pipe:
+        np.testing.assert_allclose(np.asarray(g_pipe[k]),
+                                   np.asarray(g_seq[k]),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_pipeline_rejects_bad_microbatch():
+    from jax.sharding import Mesh
+    from umfa_tpu.parallel import pipeline_apply
+
+    params = _stacked_mlp(jax.random.PRNGKey(0), 2, 4)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pp",))
+    with pytest.raises(ValueError):
+        pipeline_apply(_mlp_stage, params, jnp.zeros((6, 4)), mesh=mesh,
+                       num_microbatches=4)
