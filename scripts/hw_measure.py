@@ -16,6 +16,7 @@ Stages:
   pv           pv_int8 parity + S=4K + FLUX A/B vs non-pv int8 and bf16
   block_win    BLOCK-mode fused + quantized window auto-tiling parity + ms
   serving      model-level GPT int8-KV decode tokens/s vs dense cache
+  mla          absorbed latent-cache decode vs dense-cache decode (MLA)
 """
 
 import argparse
@@ -29,7 +30,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-STAGES = ["diag_fwd", "diag_bwd", "pv", "block_win", "serving"]
+STAGES = ["diag_fwd", "diag_bwd", "pv", "block_win", "serving", "mla"]
 STAGE_TIMEOUT_S = 1500
 
 
@@ -233,6 +234,96 @@ def stage_serving():
     import bench
 
     return bench.stage_serving(cpu=False)
+
+
+def stage_mla():
+    """MLA latent-cache absorbed decode vs dense-KV-cache decode at
+    DeepSeek-ish geometry (dim 1024, 16 heads, latent 128 = 8x compression,
+    ctx 4096). Decode is KV-bandwidth-bound: the absorbed path reads
+    B·S·L bytes/step vs 2·B·H·S·D for the dense cache (16x fewer here)."""
+    jax = _setup()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from umfa_tpu.models import mla_model
+    from umfa_tpu.ops.mla import mla_decompress
+    from umfa_tpu.serving import kv_cache as kvc
+    from umfa_tpu.serving.decode import decode_attention
+    from umfa_tpu.utils.timing import time_op
+
+    rng = np.random.default_rng(0)
+    on_cpu = jax.default_backend() == "cpu"
+    if on_cpu:
+        dim, heads, latent, batch, ctx = 256, 4, 32, 2, 256
+    else:
+        dim, heads, latent, batch, ctx = 1024, 16, 128, 8, 4096
+    cfg = mla_model.MLAConfig(
+        dim=dim, num_heads=heads, latent_dim=latent,
+        dtype="float32" if on_cpu else "bfloat16",
+        interpret=on_cpu,
+    )
+    d = cfg.head_dim
+    params = mla_model.init_params(jax.random.PRNGKey(0), cfg)
+    fill = ctx - 64
+    x_fill = _rand(rng, (batch, fill, dim), cfg.jdtype)
+    lat_fill = mla_model.compress_kv(params, x_fill)
+
+    lcache = kvc.init_latent_cache(batch, ctx, latent, cfg.jdtype)
+    lcache = kvc.append_latent(lcache, lat_fill)
+    k_fill, v_fill = mla_decompress(
+        lat_fill, params["w_k_up"], params["w_v_up"], num_heads=heads
+    )
+    dcache = kvc.init_cache(batch, heads, ctx, d, cfg.jdtype)
+    dcache = kvc.append(dcache, k_fill, v_fill)
+
+    x0 = _rand(rng, (batch, 1, dim), cfg.jdtype)
+    CHUNK = 2 if on_cpu else 8
+
+    def absorbed_chunk(params, x, cache):
+        def body(i, carry):
+            x, cache = carry
+            y, cache = mla_model.decode_step(params, x, cache, cfg)
+            return y.astype(x.dtype), cache
+
+        return jax.lax.fori_loop(0, CHUNK, body, (x, cache))
+
+    def dense_chunk(params, x, cache):
+        def body(i, carry):
+            x, cache = carry
+            b = x.shape[0]
+            lat_new = mla_model.compress_kv(params, x)
+            k_new, v_new = mla_decompress(
+                lat_new, params["w_k_up"], params["w_v_up"], num_heads=heads
+            )
+            cache = kvc.append(cache, k_new, v_new)
+            q = jnp.einsum("bsd,de->bse", x, params["wq"]).reshape(
+                b, 1, heads, d).transpose(0, 2, 1, 3)
+            att = decode_attention(q, cache)
+            att = att.transpose(0, 2, 1, 3).reshape(b, 1, dim).astype(x.dtype)
+            y = x + jnp.einsum("bsd,de->bse", att, params["wo"])
+            return y.astype(x.dtype), cache
+
+        return jax.lax.fori_loop(0, CHUNK, body, (x, cache))
+
+    iters = 2 if on_cpu else 16
+    _note("mla: timing absorbed latent-cache decode")
+    t_abs = time_op(absorbed_chunk, params, x0, lcache, iters=iters) / CHUNK
+    _note("mla: timing dense-cache decode")
+    t_dense = time_op(dense_chunk, params, x0, dcache, iters=iters) / CHUNK
+
+    # Parity: one absorbed step vs one dense step from identical state.
+    y_abs, _ = absorbed_chunk(params, x0, lcache)
+    y_dense, _ = dense_chunk(params, x0, dcache)
+    bytes_ratio = (2 * heads * d) / latent
+    return {
+        "absorbed_step_ms": t_abs * 1e3,
+        "dense_step_ms": t_dense * 1e3,
+        "speedup": t_dense / t_abs,
+        "parity_relerr": _relerr(y_abs, y_dense),
+        "cache_bytes_ratio": bytes_ratio,
+        "config": dict(dim=dim, heads=heads, latent=latent, batch=batch,
+                       ctx=ctx, chunk=CHUNK),
+    }
 
 
 # --------------------------------------------------------------------------
