@@ -40,7 +40,7 @@ BASELINE_X = 1.3  # BASELINE.json target
 
 # Stage order = priority order: if the global deadline runs out, later
 # stages are skipped but everything already measured is still reported.
-STAGES = ["core", "train", "flux", "masks", "serving"]
+STAGES = ["core", "train", "flux", "masks", "serving", "mla"]
 STAGE_TIMEOUT_S = {
     # Worst case ~1-4 min Mosaic compile per new kernel shape per process.
     "core": 1500,
@@ -48,6 +48,7 @@ STAGE_TIMEOUT_S = {
     "flux": 900,
     "masks": 1500,
     "serving": 900,
+    "mla": 600,
 }
 PROBE_TIMEOUT_S = 300
 PROBE_ATTEMPTS = 2
@@ -192,6 +193,8 @@ def _extras(results):
         "flux_bf16_ms": g("flux", "bf16_fused", "ms"),
         "flux_int8_ms": g("flux", "int8_fused", "ms"),
         "serving_int8_speedup": g("serving", "int8", "speedup_vs_dense_cache"),
+        "mla_latent_decode_speedup": g("mla", "speedup"),
+        "mla_absorbed_step_ms": g("mla", "absorbed_step_ms"),
     }
 
 
@@ -554,6 +557,18 @@ def stage_serving(cpu):
     return results
 
 
+def stage_mla(cpu):
+    """MLA absorbed latent-cache decode vs dense-cache decode (the serving
+    claim for the MLA family). Body shared with scripts/hw_measure.py."""
+    _setup_worker(cpu)
+    if cpu:
+        os.environ["UMFA_HW_ALLOW_CPU"] = "1"
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import hw_measure
+
+    return hw_measure.stage_mla()
+
+
 STAGE_FNS = {
     "probe": stage_probe,
     "core": stage_core,
@@ -561,6 +576,7 @@ STAGE_FNS = {
     "flux": stage_flux,
     "masks": stage_masks,
     "serving": stage_serving,
+    "mla": stage_mla,
 }
 
 
