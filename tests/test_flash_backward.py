@@ -100,9 +100,11 @@ def test_causal_diag_subtile_backward(rng):
     from umfa_tpu.ops.attention import flash_attention
     from umfa_tpu.ops.flash_fwd import BlockSizes, _diag_subtile_count
 
-    # Path precondition sanity (shared helper with the forward).
-    assert _diag_subtile_count(1024, 1024, True, None, 4096, False) == 4
-    assert _diag_subtile_count(256, 256, True, None, 1024, False) == 2
+    # Path precondition sanity (shared helper; bwd call sites prefer NS=4).
+    assert _diag_subtile_count(
+        1024, 1024, True, None, 4096, False, prefer_ns=(4, 2)) == 4
+    assert _diag_subtile_count(
+        256, 256, True, None, 1024, False, prefer_ns=(4, 2)) == 2
 
     bs = BlockSizes(
         block_q=256, block_k=256, block_q_dq=256, block_k_dq=256,

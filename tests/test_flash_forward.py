@@ -180,9 +180,12 @@ def test_causal_diag_subtile_path(rng):
     causal calls and match the reference bit-tight, grads included."""
     from umfa_tpu.ops.flash_fwd import _diag_subtile_count
 
-    # Path activation conditions.
-    assert _diag_subtile_count(1024, 1024, True, None, 4096, False) == 4
-    assert _diag_subtile_count(512, 512, True, None, 4096, False) == 4
+    # Path activation conditions (fwd prefers NS=2, bwd NS=4 — measured
+    # per-direction on v5e, see _diag_subtile_count docstring).
+    assert _diag_subtile_count(1024, 1024, True, None, 4096, False) == 2
+    assert _diag_subtile_count(
+        1024, 1024, True, None, 4096, False, prefer_ns=(4, 2)) == 4
+    assert _diag_subtile_count(512, 512, True, None, 4096, False) == 2
     assert _diag_subtile_count(256, 256, True, None, 4096, False) == 2
     assert _diag_subtile_count(1024, 512, True, None, 4096, False) == 0
     assert _diag_subtile_count(1024, 1024, True, (64, 0), 4096, False) == 0

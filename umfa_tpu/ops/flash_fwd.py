@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -175,18 +176,29 @@ def _intra_block_mask(
 
 
 def _diag_subtile_count(block_q: int, block_k: int, causal: bool, window,
-                        seq_k: int, has_bias: bool) -> int:
+                        seq_k: int, has_bias: bool,
+                        prefer_ns=(2, 4)) -> int:
     """How many q-row sub-blocks the causal-diagonal fast path uses (0 = path
     disabled). Preconditions for the path: with bq == bk and the KV tail
     aligned, every PARTIAL causal tile is EXACTLY diagonal (k_start ==
     q_start), so sub-block i of the q rows attends only the column prefix
     [0, (i+1)·w) — the matmul, exp, and stat updates all shrink to ~(NS+1)/2NS
-    of the full tile, and the only mask needed is one shared w×w triangle."""
+    of the full tile, and the only mask needed is one shared w×w triangle.
+
+    NS choice is direction-specific (v5e A/B, fresh process each): the
+    FORWARD wants NS=2 (1.366 ms vs 1.455 at NS=4 / 1.517 no-diag, S=4K —
+    the finer sub-block matmuls cost more than the extra exp they skip);
+    the BACKWARD wants NS=4 (1.227 vs 1.243 NS=2 / 1.306 no-diag) — its
+    diagonal work is exp/VPU-heavier, so finer splits still pay."""
+    if os.environ.get("UMFA_DISABLE_DIAG") == "1":  # perf A/B escape hatch
+        return 0
     if not causal or window is not None or has_bias:
         return 0
     if block_q != block_k or seq_k % block_k != 0:
         return 0
-    for ns in (4, 2):
+    ns_env = os.environ.get("UMFA_DIAG_NS")
+    candidates = (int(ns_env),) if ns_env else prefer_ns
+    for ns in candidates:
         if block_q % ns == 0 and block_q // ns >= 128:
             return ns
     return 0
@@ -632,12 +644,16 @@ def flash_attention_forward(
         else block_sizes.fwd_q_request(causal or window is not None),
         seq_q, head_dim,
     )
-    block_k = _choose_block(block_sizes.block_k, seq_k, head_dim)
+    kv_req = block_sizes.block_k
     if (causal or window is not None) and block_map is None:
         # Finer KV tiles let more fully-masked blocks skip (v5e: causal
         # 2.05 → 1.83 ms at seq 4K moving 2048 → 1024). Skipped when a
-        # compiled BlockMask dictates the tiling.
-        block_k = min(block_k, 1024)
+        # compiled BlockMask dictates the tiling. Clamp BEFORE the padding-
+        # avoidance sweep: clamping after it broke alignment at seq 4608
+        # (sweep picked 1536, post-clamp 1024 pads to 5120 and kills the
+        # diagonal path — measured causal == dense there, 1.75 ms).
+        kv_req = min(kv_req, 1024)
+    block_k = _choose_block(kv_req, seq_k, head_dim)
 
     q_pad = _pad_seq(q, block_q, 2)
     k_pad = _pad_seq(k, block_k, 2)

@@ -858,7 +858,8 @@ def quantized_attention_backward(
     diag_ns = 0
     if not has_fetch and not has_map:
         diag_ns = _diag_subtile_count(
-            block_q, block_k, causal, window, seq_k, has_bias
+            block_q, block_k, causal, window, seq_k, has_bias,
+            prefer_ns=(4, 2),  # bwd: NS=4 measured best (see flash_fwd)
         )
 
     # ---- dQ pass ----

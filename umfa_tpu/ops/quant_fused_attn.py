@@ -817,14 +817,16 @@ def fused_quantize_attend(
         block_sizes.fwd_q_request(causal or window is not None),
         seq_q, head_dim,
     )
-    block_k = _choose_block(block_sizes.block_k, seq_k, head_dim)
+    kv_req = block_sizes.block_k
     if (causal or window is not None) and block_map is None:
         # Finer KV tiles let more fully-masked blocks skip (same clamp as
         # the dense forward) — and equal tiles let the causal-diagonal
         # sub-tile path engage (this clamp was MISSING here through r2:
         # causal fused-quant ran bq=1024/bk=2048, so the r3 diag path never
-        # fired at defaults).
-        block_k = min(block_k, 1024)
+        # fired at defaults). Clamp BEFORE the padding-avoidance sweep so
+        # unaligned sequences still get equal aligned tiles (see flash_fwd).
+        kv_req = min(kv_req, 1024)
+    block_k = _choose_block(kv_req, seq_k, head_dim)
 
     q_pad = _pad_seq(q, block_q, 2)
     k_pad = _pad_seq(k, block_k, 2)
