@@ -222,6 +222,7 @@ def _fwd_kernel(
     group: int,
     vc_width: int,
     diag_ns: int,
+    diag_rect: bool,
     out_dtype,
 ):
     refs = list(refs)
@@ -521,13 +522,105 @@ def _fwd_kernel(
                 acc_scr[pl.ds(i * w, w), :] * alpha + pv[:, :d]
             )
 
+    def _do_update_rect(jj: int, full_below: bool):
+        # Rectangular causal diagonal (bq == 2·bk, w = bk): the partial tile
+        # at k_start == q_start + jj·w has a w×w triangle on q sub-block jj
+        # (rows [jj·w, (jj+1)·w)), full visibility for the rows below it
+        # (jj == 0 only), and no visibility above — those rows' stats are
+        # simply not touched. Same shared-triangle/underflow-to-zero trick
+        # as _do_update_diag, but FULL tiles run at the 2·bk q-tile rate
+        # (dense@1024² measured 16% slower than dense@2048² on v5e — the
+        # square path's equal-tile requirement taxed every full tile).
+        w = block_k
+        d = q_scr.shape[1]
+        mxu = (
+            jax.lax.Precision.HIGHEST
+            if q_scr.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        if kv_cache:
+            k_t = kcache[pl.ds(k_start, w), :]
+            v_t = vcache[pl.ds(k_start, w), :]
+        else:
+            k_t = k_ref[0, 0]
+            v_t = v_ref[0, 0]
+        ones_from_cache = kv_cache and vc_width > d
+
+        def sub_update(row0: int, s):
+            m_prev = m_scr[pl.ds(row0, w), 0:1]
+            l_prev = l_scr[pl.ds(row0, w), 0:1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            pv = jax.lax.dot_general(
+                p.astype(v_t.dtype), v_t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu,
+            )
+            psum = (
+                pv[:, d:d + 1] if ones_from_cache
+                else jnp.sum(p, axis=-1, keepdims=True)
+            )
+            l_new = alpha * l_prev + psum
+            m_scr[pl.ds(row0, w), :] = jnp.broadcast_to(
+                m_new, (w, m_scr.shape[1])
+            )
+            l_scr[pl.ds(row0, w), :] = jnp.broadcast_to(
+                l_new, (w, l_scr.shape[1])
+            )
+            acc_scr[pl.ds(row0, w), :] = (
+                acc_scr[pl.ds(row0, w), :] * alpha + pv[:, :d]
+            )
+
+        tri = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+            > jax.lax.broadcasted_iota(jnp.int32, (w, w), 0),
+            DEFAULT_MASK_VALUE,
+            0.0,
+        )
+        row0 = jj * w
+        s_tri = jax.lax.dot_general(
+            q_scr[pl.ds(row0, w), :], k_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu,
+        ) + tri
+        sub_update(row0, s_tri)
+        if full_below:
+            s_full = jax.lax.dot_general(
+                q_scr[pl.ds(w, w), :], k_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=mxu,
+            )
+            sub_update(w, s_full)
+
     masked = causal or window is not None or bool(seq_k % block_k)
     if masked:
         # Runtime split: interior (fully-visible) tiles skip all VPU mask
         # work — iota, compares, selects on a (block_q, block_k) tile — which
         # is pure overhead on the ~60% of causal tiles that are not on the
         # diagonal (VERDICT r1: causal at ~65% of its visible-tile ceiling).
-        if diag_ns:
+        if diag_rect:
+            at_diag0 = k_start == q_start
+
+            @pl.when(
+                jnp.logical_and(visible, jnp.logical_and(partial, at_diag0))
+            )
+            def _compute_rect0():
+                _do_update_rect(0, True)
+
+            @pl.when(
+                jnp.logical_and(
+                    visible,
+                    jnp.logical_and(partial, jnp.logical_not(at_diag0)),
+                )
+            )
+            def _compute_rect1():
+                _do_update_rect(1, False)
+        elif diag_ns:
             @pl.when(jnp.logical_and(visible, partial))
             def _compute_diag():
                 _do_update_diag()
@@ -654,6 +747,32 @@ def flash_attention_forward(
         # diagonal path — measured causal == dense there, 1.75 ms).
         kv_req = min(kv_req, 1024)
     block_k = _choose_block(kv_req, seq_k, head_dim)
+
+    # Rectangular diagonal mode (plain causal, default tiles): bq = 2·bk.
+    # The two partial tiles per q-tile split at the diagonal — a shared
+    # w×w triangle on one q half, one unmasked w-row update on the other —
+    # while FULL tiles run at the 2·bk q-tile rate. Motivation (v5e,
+    # fresh-process): dense@1024² is 16% slower than dense@2048², so the
+    # square diag path's equal-tile requirement taxes every full tile;
+    # this keeps the diagonal savings AND the big-tile rate.
+    diag_rect = False
+    if (
+        causal and window is None and bias is None and block_map is None
+        and fetch_ids is None
+        and block_sizes == BlockSizes()
+        and seq_k % block_k == 0
+        and seq_q % (2 * block_k) == 0
+        # fp32 operands double every scoped buffer (q_scr, caches, plus the
+        # w×w f32 triangle/score temporaries) — 22.8M > the 16M scoped-vmem
+        # limit at bq=2048 (measured Mosaic OOM); fp32 keeps the square
+        # diag path, which carries the accuracy story anyway.
+        and q.dtype != jnp.float32
+        and os.environ.get("UMFA_DISABLE_DIAG") != "1"
+        and os.environ.get("UMFA_DISABLE_RECT") != "1"
+        and os.environ.get("UMFA_DIAG_NS") is None
+    ):
+        block_q = 2 * block_k
+        diag_rect = True
 
     q_pad = _pad_seq(q, block_q, 2)
     k_pad = _pad_seq(k, block_k, 2)
@@ -827,7 +946,7 @@ def flash_attention_forward(
     ]
 
     diag_ns = 0
-    if block_map is None:
+    if block_map is None and not diag_rect:
         diag_ns = _diag_subtile_count(
             block_q, block_k, causal, window, seq_k, has_bias
         )
@@ -849,6 +968,7 @@ def flash_attention_forward(
         group=group,
         vc_width=vc_width,
         diag_ns=diag_ns,
+        diag_rect=diag_rect,
         out_dtype=out_dtype,
     )
 
