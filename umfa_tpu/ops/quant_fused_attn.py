@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -215,6 +216,7 @@ def _fused_qattn_kernel(
     has_fetch: bool,
     asym: bool,
     diag_ns: int,
+    diag_rect: bool,
     out_dtype,
 ):
     refs = list(refs)
@@ -693,9 +695,92 @@ def _fused_qattn_kernel(
             )
             acc_scr[pl.ds(i * w, w), :] = acc
 
+    def _do_update_rect(jj: int, full_below: bool):
+        # Rectangular causal diagonal (bq == 2·bk, w = bk) on the deq bf16
+        # caches — same structure as flash_fwd._do_update_rect: the partial
+        # tile at k_start == q_start + jj·w is a w×w shared triangle on q
+        # sub-block jj plus (jj == 0) one unmasked w-row update below, and
+        # FULL tiles run at the doubled q-tile rate. pv_int8 keeps the
+        # square sub-tiled path (host gate): its chunked integer dot wants
+        # the prefix walk. The Q-mean compensation row (cc) slices along
+        # with the columns exactly as in the square path.
+        w = block_k
+        d = head_dim
+        tri = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+            > jax.lax.broadcasted_iota(jnp.int32, (w, w), 0),
+            DEFAULT_MASK_VALUE,
+            0.0,
+        )
+        k_bf = kcache[pl.ds(k_start, w), :]
+        v_t = vcache[pl.ds(k_start, w), :]
+
+        def sub_update(row0: int, s):
+            m_prev = m_scr[pl.ds(row0, w), 0:1]
+            l_prev = l_scr[pl.ds(row0, w), 0:1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            pv = jax.lax.dot_general(
+                p.astype(v_t.dtype), v_t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            psum = (
+                pv[:, d:d + 1] if ones_col
+                else jnp.sum(p, axis=-1, keepdims=True)
+            )
+            l_new = alpha * l_prev + psum
+            m_scr[pl.ds(row0, w), :] = jnp.broadcast_to(
+                m_new, (w, m_scr.shape[1])
+            )
+            l_scr[pl.ds(row0, w), :] = jnp.broadcast_to(
+                l_new, (w, l_scr.shape[1])
+            )
+            acc_scr[pl.ds(row0, w), :] = (
+                acc_scr[pl.ds(row0, w), :] * alpha + pv[:, :d]
+            )
+
+        row0 = jj * w
+        s_tri = jax.lax.dot_general(
+            q_scr[pl.ds(row0, w), :], k_bf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if cc is not None:
+            s_tri = s_tri + cc[0:1, pl.ds(k_start, w)]
+        sub_update(row0, s_tri + tri)
+        if full_below:
+            s_full = jax.lax.dot_general(
+                q_scr[pl.ds(w, w), :], k_bf,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if cc is not None:
+                s_full = s_full + cc[0:1, pl.ds(k_start, w)]
+            sub_update(w, s_full)
+
     masked = causal or window is not None or bool(seq_k % block_k)
     if masked:
-        if diag_ns:
+        if diag_rect:
+            at_diag0 = k_start == q_start
+
+            @pl.when(
+                jnp.logical_and(visible, jnp.logical_and(partial, at_diag0))
+            )
+            def _compute_rect0():
+                _do_update_rect(0, True)
+
+            @pl.when(
+                jnp.logical_and(
+                    visible,
+                    jnp.logical_and(partial, jnp.logical_not(at_diag0)),
+                )
+            )
+            def _compute_rect1():
+                _do_update_rect(1, False)
+        elif diag_ns:
             @pl.when(jnp.logical_and(visible, partial))
             def _compute_diag():
                 _do_update_diag()
@@ -828,6 +913,24 @@ def fused_quantize_attend(
         kv_req = min(kv_req, 1024)
     block_k = _choose_block(kv_req, seq_k, head_dim)
 
+    # Rectangular causal diagonal (bq = 2·bk — see flash_fwd): the deq
+    # caches are bf16 regardless of input dtype, so no fp32 vmem gate is
+    # needed here. pv_int8 keeps the square sub-tiled path (its chunked
+    # integer dot wants the prefix walk).
+    diag_rect = False
+    if (
+        causal and window is None and bias is None and block_map is None
+        and fetch_kv is None and not pv_int8
+        and block_sizes == BlockSizes()
+        and seq_k % block_k == 0
+        and seq_q % (2 * block_k) == 0
+        and os.environ.get("UMFA_DISABLE_DIAG") != "1"
+        and os.environ.get("UMFA_DISABLE_RECT") != "1"
+        and os.environ.get("UMFA_DIAG_NS") is None
+    ):
+        block_q = 2 * block_k
+        diag_rect = True
+
     q_pad = _pad_seq(q, block_q, 2)
     k_pad = _pad_seq(k, block_k, 2)
     v_pad = _pad_seq(v, block_k, 2)
@@ -843,7 +946,7 @@ def fused_quantize_attend(
     from umfa_tpu.ops.flash_fwd import _diag_subtile_count
 
     diag_ns = 0
-    if not has_fetch:
+    if not has_fetch and not diag_rect:
         # fetch walks carry their own tile structure.
         diag_ns = _diag_subtile_count(
             block_q, block_k, causal, window, seq_k, bias is not None
@@ -1128,6 +1231,7 @@ def fused_quantize_attend(
         has_fetch=has_fetch,
         asym=asym,
         diag_ns=diag_ns,
+        diag_rect=diag_rect,
         out_dtype=jnp.dtype(out_dtype),
     )
     grid = (batch, num_heads, num_q_blocks, num_steps)
