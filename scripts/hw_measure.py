@@ -2,9 +2,15 @@
 
 Drives every round-3 kernel path on the real device (Mosaic validation —
 interpret mode can't vouch for pl.ds slices / int dots) and captures the
-timings the round-3 claims need. One fresh subprocess per stage
-(measurement discipline: same-process ordering produced phantom numbers in
-r2). Structured JSON per stage to stdout at the end.
+timings the round-3 claims need. One fresh subprocess per stage.
+
+CAVEAT (learned from this script's own output): per-STAGE isolation is not
+enough for timings — a stage that runs parity+grad checks before its
+time_op reads up to ~25% off (diag_fwd read causal 1.495 ms vs ~1.44
+fresh; the pv stage read FLUX int8 2.40 vs 1.98 fresh). Use this script
+for PARITY/VALIDATION; take timing claims from `bench.py` (one fresh
+process per timing) or `scripts/tile_ab.py`. Structured JSON per stage to
+stdout at the end.
 
 Usage:
   python scripts/hw_measure.py              # orchestrate all stages
