@@ -48,18 +48,23 @@ sys.path.insert(0, REPO)
 HEADLINE_METRIC = "int8_fused_attn_speedup_vs_bf16_xla_sdpa_seq4k"
 BASELINE_X = 1.3  # BASELINE.json target
 
-# Stage order = priority order: if the global deadline runs out, later
-# stages are skipped but everything already measured is still reported.
-STAGES = ["core", "train", "flux", "masks", "serving", "mla"]
+# Stage order = priority order: core carries the headline, then the claim
+# sets that have never been driver-verified (masks/serving/mla timed out in
+# r2 AND r3 — VERDICT r3 weak #2) BEFORE the train/flux re-confirmations.
+# If the global deadline runs out, later stages are skipped — but the
+# headline (with every extra measured so far) is re-emitted after EVERY
+# stage, so a mid-run kill still leaves a complete-so-far artifact.
+STAGES = ["core", "masks", "serving", "mla", "train", "flux"]
 STAGE_TIMEOUT_S = {
     # Worst case ~1-4 min Mosaic compile per new kernel shape per timing
-    # subprocess on a COLD .jax_cache; warm-cache stages run in ~2 min.
+    # subprocess on a COLD .jax_cache; warm-cache stages run in ~2 min
+    # (healthy relay: ~25 s per timing subprocess, measured r4).
     "core": 2400,
-    "train": 1800,
-    "flux": 1200,
-    "masks": 2400,
+    "masks": 2000,
     "serving": 1200,
     "mla": 900,
+    "train": 1500,
+    "flux": 1000,
 }
 PROBE_TIMEOUT_S = 300
 PROBE_ATTEMPTS = 2
@@ -68,6 +73,15 @@ TIME_TIMEOUT_S = 590
 
 def _note(msg):
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _shield(payload: str):
+    """Print a JSON payload so the driver can NEVER mistake it for the
+    headline: the driver merges stdout+stderr and takes the LAST parseable
+    JSON line (r3's artifact captured a stray `{"s": ...}` timing fragment
+    this way — VERDICT r3 weak #1). Every line gets a `#` prefix."""
+    for ln in payload.splitlines():
+        print(f"# {ln}", file=sys.stderr, flush=True)
 
 
 # --------------------------------------------------------------------------
@@ -126,7 +140,10 @@ def _emit_headline(value, extra=None, error=None):
 
 def orchestrate():
     force_cpu = os.environ.get("UMFA_BENCH_FORCE_CPU") == "1"
-    deadline = time.time() + float(os.environ.get("UMFA_BENCH_DEADLINE_S", "3600"))
+    # Default 3300 s: strictly inside the driver's observed ~3600 s kill
+    # window (r3: rc=124), so the in-bench skip logic fires first and the
+    # final full-extras headline still reaches stdout.
+    deadline = time.time() + float(os.environ.get("UMFA_BENCH_DEADLINE_S", "3300"))
 
     # --- probe: bounded-timeout backend init with retry --------------------
     backend = None
@@ -148,6 +165,20 @@ def orchestrate():
         return
 
     # --- stages -------------------------------------------------------------
+    def _headline_from(results):
+        """Emit the headline with everything measured SO FAR. Called after
+        every stage so a mid-run kill (driver timeout, relay outage) still
+        leaves the newest complete-so-far line as the last parseable JSON."""
+        core = results.get("core", {})
+        if "error" in core or "bf16_xla_sdpa" not in core:
+            _emit_headline(
+                None, error=f"core_stage_failed: {core.get('error')}",
+                extra=_extras(results),
+            )
+            return
+        sp = core["bf16_xla_sdpa"]["ms"] / core["int8_fused"]["ms"]
+        _emit_headline(sp, extra=_extras(results))
+
     results = {"backend": backend}
     for stage in STAGES:
         remaining = deadline - time.time()
@@ -158,21 +189,10 @@ def orchestrate():
         timeout_s = min(STAGE_TIMEOUT_S[stage], int(remaining))
         res, err = _run_stage(stage, timeout_s, force_cpu)
         results[stage] = res if res is not None else {"error": err}
-        if stage == "core" and res is not None:
-            # Early headline: if a later stage (or the driver's own timeout)
-            # kills the run, stdout already carries a parseable line.
-            sp = res["bf16_xla_sdpa"]["ms"] / res["int8_fused"]["ms"]
-            _emit_headline(sp)
+        _headline_from(results)
 
-    print(json.dumps(results, indent=2), file=sys.stderr, flush=True)
-
-    core = results.get("core", {})
-    if "error" in core or "bf16_xla_sdpa" not in core:
-        _emit_headline(None, error=f"core_stage_failed: {core.get('error')}",
-                       extra=_extras(results))
-        return
-    speedup = core["bf16_xla_sdpa"]["ms"] / core["int8_fused"]["ms"]
-    _emit_headline(speedup, extra=_extras(results))
+    _shield(json.dumps(results, indent=2))
+    _headline_from(results)
 
 
 def _extras(results):
@@ -796,16 +816,17 @@ def stage_masks(cpu):
 
 
 def stage_serving(cpu):
-    results = {}
+    # Config/batch resolved ONCE before the loop (ADVICE r3: binding batch
+    # inside one loop branch made correctness depend on iteration order).
+    # _serving_setup goes through _setup_worker, which pins the backend
+    # correctly before any jax query.
+    s = _serving_setup(cpu, "dtype")
+    batch = s["batch"]
+    results = {"config": s["config"]}
+    del s
     for cache_kind in ("dtype", "int8"):
         _note(f"serving: timing decode ({cache_kind} cache)")
         t = _timed(f"serving_{cache_kind}", cpu)
-        s = None
-        if cache_kind == "dtype":
-            # config record only — built once, cheap relative to timing
-            s = _serving_setup(cpu, cache_kind)
-            results["config"] = s["config"]
-            batch = s["batch"]
         results[cache_kind] = {
             "decode_step_ms": t * 1e3,
             "tokens_per_s": batch / t,
@@ -871,7 +892,7 @@ def main():
         if args.out:
             with open(args.out, "w") as f:
                 f.write(payload)
-        print(payload, file=sys.stderr, flush=True)
+        _shield(payload)
         return
 
     if args.stage is None:
@@ -883,7 +904,7 @@ def main():
     if args.out:
         with open(args.out, "w") as f:
             f.write(payload)
-    print(payload, file=sys.stderr, flush=True)
+    _shield(payload)
 
 
 if __name__ == "__main__":
