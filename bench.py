@@ -371,12 +371,13 @@ def _train_setup(cpu):
     q, k, v = _rand_qkv(rng, (B, H, S, D), jnp.bfloat16)
 
     def step(fn):
-        def f(q, k, v):
-            return jax.grad(
-                lambda q: jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
-            )(q)
+        # Full gradients (q, k, v): grad w.r.t. q alone lets XLA DCE the
+        # entire dK/dV pallas pass — r3's "train step" silently timed only
+        # fwd + dQ (discovered via scripts/train_ab.py, r4).
+        def loss(q, k, v):
+            return jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
 
-        return f
+        return jax.grad(loss, argnums=(0, 1, 2))
 
     cfg8 = QuantizationConfig()
     cfg4 = QuantizationConfig.from_mode_string("int4")

@@ -133,12 +133,12 @@ def build(case):
         return fn, args
 
     def step(attn):
-        def f(q, k, v):
-            return jax.grad(
-                lambda q: jnp.sum(attn(q, k, v).astype(jnp.float32) ** 2)
-            )(q)
+        # Full (q, k, v) gradients — grad w.r.t. q alone lets XLA DCE the
+        # whole dK/dV pass (see bench.py _train_setup).
+        def loss(q, k, v):
+            return jnp.sum(attn(q, k, v).astype(jnp.float32) ** 2)
 
-        return f
+        return jax.grad(loss, argnums=(0, 1, 2))
 
     if case == "dense_step":
         return jax.jit(step(lambda q, k, v: flash_attention(q, k, v))), (
