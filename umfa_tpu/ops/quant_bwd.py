@@ -116,6 +116,8 @@ def _q_dq_kernel(
     has_map,
     has_fetch,
     has_vm,
+    kv_cache=False,
+    group=1,
     diag_ns=0,
 ):
     refs = list(refs)
@@ -132,7 +134,11 @@ def _q_dq_kernel(
         bias_ref = refs[idx]; idx += 1
     if has_map:
         map_ref = refs[idx]; idx += 1
-    dq_ref, dq_scr, q_scr = refs[idx:]
+    if kv_cache:
+        dq_ref, dq_scr, q_scr, kdeq, vdeq = refs[idx:]
+    else:
+        dq_ref, dq_scr, q_scr = refs[idx:]
+        kdeq = vdeq = None
 
     qi = pl.program_id(2)
     ki = pl.program_id(3)  # compacted step when has_fetch
@@ -155,6 +161,32 @@ def _q_dq_kernel(
         # into sq_eff host-side).
         q_scr[...] = _deq_bf16(q_ref[0, 0], qs_ref[0, 0], q_int4)
 
+    if kv_cache:
+        # Persistent deq-bf16 K/V VMEM caches, filled on first touch (same
+        # schedule as the forward's _fill_kv_cache — SURVEY fwd design):
+        # the per-step dequantize was measured at 26% of the whole int8
+        # backward at S=4K (r4 NODEQ A/B, 1.567 → 1.158 ms); caching makes
+        # the deq a once-per-tile cost and elides the repeated K/V HBM
+        # reads entirely (the int8 residual bytes are read exactly once).
+        from umfa_tpu.ops.flash_fwd import _right_bound
+
+        rb = _right_bound(causal, window)
+        if rb is None:
+            first_qi = 0
+        else:
+            first_qi = jnp.maximum(ki * block_k - rb, 0) // block_q
+        h = pl.program_id(1)
+        fill = jnp.logical_and(qi == first_qi, h % group == 0)
+
+        @pl.when(fill)
+        def _fill_kv_deq():
+            kdeq[pl.ds(k_start, block_k), :] = _deq_bf16(
+                k_ref[0, 0], ks_ref[0, 0], k_int4
+            )
+            vdeq[pl.ds(k_start, block_k), :] = _deq_bf16(
+                v_ref[0, 0], vs_ref[0, 0], v_int4
+            )
+
     visible, partial = _block_visible(
         q_start, k_start,
         block_q=block_q, block_k=block_k,
@@ -175,8 +207,12 @@ def _q_dq_kernel(
         lse = lse_ref[0, 0]
         delta = delta_ref[0, 0]
         # k~ = sk * k_i8 dequantized on load — the (block_k, D) tile op
-        # replaces a full (block_q, block_k) score-tile scale pass.
-        k_bf = _deq_bf16(k_ref[0, 0], ks_ref[0, 0], k_int4)
+        # replaces a full (block_q, block_k) score-tile scale pass. With the
+        # VMEM deq cache the load is a pure slice (deq paid once per tile).
+        if kv_cache:
+            k_bf = kdeq[pl.ds(k_start, block_k), :]
+        else:
+            k_bf = _deq_bf16(k_ref[0, 0], ks_ref[0, 0], k_int4)
 
         masked_args = None
         if apply_mask:
@@ -194,7 +230,10 @@ def _q_dq_kernel(
         )
 
         # dP_ij = dO_i . v~_j [+ dO_i . vm].
-        v_f = _deq_bf16(v_ref[0, 0], vs_ref[0, 0], v_int4)
+        if kv_cache:
+            v_f = vdeq[pl.ds(k_start, block_k), :]
+        else:
+            v_f = _deq_bf16(v_ref[0, 0], vs_ref[0, 0], v_int4)
         dp = jax.lax.dot_general(
             do.astype(jnp.bfloat16), v_f,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -220,8 +259,12 @@ def _q_dq_kernel(
         from umfa_tpu.ops.flash_bwd import _tri_bias
 
         w = block_q // diag_ns
-        k_bf = _deq_bf16(k_ref[0, 0], ks_ref[0, 0], k_int4)
-        v_f = _deq_bf16(v_ref[0, 0], vs_ref[0, 0], v_int4)
+        if kv_cache:
+            k_bf = kdeq[pl.ds(k_start, block_k), :]
+            v_f = vdeq[pl.ds(k_start, block_k), :]
+        else:
+            k_bf = _deq_bf16(k_ref[0, 0], ks_ref[0, 0], k_int4)
+            v_f = _deq_bf16(v_ref[0, 0], vs_ref[0, 0], v_int4)
         corr_blk = corr_ref[0, 0] if corr_ref is not None else None
         tri = _tri_bias(w)
         do_t = do_ref[0, 0].astype(jnp.float32)
@@ -314,6 +357,7 @@ def _q_dkv_kernel(
     has_vm,
     group=1,
     nq_logical=None,
+    q_cache=False,
     diag_ns=0,
 ):
     refs = list(refs)
@@ -332,7 +376,11 @@ def _q_dkv_kernel(
         bias_ref = refs[idx]; idx += 1
     if has_map:
         map_ref = refs[idx]; idx += 1
-    dk_ref, dv_ref, dk_scr, dv_scr, k_scr, v_scr = refs[idx:]
+    if q_cache:
+        dk_ref, dv_ref, dk_scr, dv_scr, k_scr, v_scr, qdeq = refs[idx:]
+    else:
+        dk_ref, dv_ref, dk_scr, dv_scr, k_scr, v_scr = refs[idx:]
+        qdeq = None
 
     ki = pl.program_id(2)
     inner = pl.program_id(3)
@@ -364,6 +412,24 @@ def _q_dkv_kernel(
         k_scr[...] = _deq_bf16(k_ref[0, 0], ks_ref[0, 0], k_int4)
         v_scr[...] = _deq_bf16(v_ref[0, 0], vs_ref[0, 0], v_int4)
 
+    if q_cache:
+        # Q deq cache: Q tiles recur across every outer ki step — deq each
+        # once during ki == 0's inner walk into VMEM, read pure bf16 after
+        # (the repeated per-step deq was the dK/dV pass's share of the
+        # 26%-of-backward deq cost measured in the r4 NODEQ A/B). The host
+        # gates this to group == 1, no fetch/map, and window-left None (at
+        # ki == 0 every q tile is visited, so the fill covers the cache).
+        @pl.when(ki == 0)
+        def _fill_q_deq():
+            qdeq[pl.ds(q_start, block_q), :] = _deq_bf16(
+                q_ref[0, 0], qs_ref[0, 0], q_int4
+            )
+
+    def _q_bf():
+        if q_cache:
+            return qdeq[pl.ds(q_start, block_q), :]
+        return _deq_bf16(q_ref[0, 0], qs_ref[0, 0], q_int4)
+
     visible, partial = _block_visible(
         q_start, k_start,
         block_q=block_q, block_k=block_k,
@@ -383,9 +449,9 @@ def _q_dkv_kernel(
         do = do_ref[0, 0].astype(jnp.float32)
         lse = lse_ref[0, 0]
         delta = delta_ref[0, 0]
-        # Q varies per inner step: dequantize on load with sq_eff
-        # (softmax scale pre-folded) — a (block_q, D) tile op.
-        q_bf = _deq_bf16(q_ref[0, 0], qs_ref[0, 0], q_int4)
+        # Q varies per inner step: deq on load with sq_eff (softmax scale
+        # pre-folded), or a pure VMEM slice when the deq cache is on.
+        q_bf = _q_bf()
 
         masked_args = None
         if apply_mask:
@@ -435,7 +501,7 @@ def _q_dkv_kernel(
         from umfa_tpu.ops.flash_bwd import _tri_bias
 
         w = block_k // diag_ns
-        q_bf = _deq_bf16(q_ref[0, 0], qs_ref[0, 0], q_int4)
+        q_bf = _q_bf()
         do_t = do_ref[0, 0].astype(jnp.float32)
         lse = lse_ref[0, 0]
         delta = delta_ref[0, 0]
@@ -683,10 +749,47 @@ def quantized_attention_backward(
         ]
         return jnp.where(val >= 0, val, -val - 1)
 
+    # Deq-cache gates (r4): the per-step dequantize was 26% of the int8
+    # backward at S=4K (NODEQ A/B, 1.567 → 1.158 ms). The dQ pass caches
+    # deq'd K/V (fill-on-first-touch, forward's schedule); the dK/dV pass
+    # caches deq'd Q (filled during outer step ki == 0, which visits every
+    # q tile when window-left is unbounded). Frozen index maps elide the
+    # repeated HBM reads too — int8 residual bytes are read exactly once.
+    from umfa_tpu.ops.flash_fwd import _right_bound
+
+    rb_host = _right_bound(causal, window)
+    use_dq_cache = (
+        not has_fetch and not has_map
+        and padded_sk * head_dim * 4 <= 12 * 2**20
+        and not (rb_host is not None and seq_q != seq_k)
+    )
+    use_dkv_qcache = (
+        not has_fetch and not has_map and group == 1
+        and (window is None or window[0] < 0)
+        and padded_sq * head_dim * 2 <= 6 * 2**20
+        and not (rb_host is not None and seq_q != seq_k)
+    )
+
+    def _last_filled(qi, ki):
+        """Largest KV tile already deq-cache-filled at dQ step (qi, ki) —
+        same formula as the forward's fill schedule."""
+        if rb_host is None:
+            return jnp.where(qi > 0, num_k_blocks - 1, ki)
+        a = (qi * block_q - 1 + rb_host) // block_k
+        bmax = ((qi + 1) * block_q - 1 + rb_host) // block_k
+        t = jnp.maximum(a, jnp.minimum(ki, bmax))
+        return jnp.clip(t, 0, num_k_blocks - 1)
+
     def build_specs(order, use_group=False, width=None):
         """order 'qk' = dQ kernel (qi outer, ki inner); 'kq' = dK/dV kernel.
         use_group: in-kernel GQA layout (h = KV head, inner = (g, step) with
-        `width` steps per query head — compacted steps under fetch)."""
+        `width` steps per query head — compacted steps under fetch).
+
+        When a deq cache is active, the cached operand streams (K/V values +
+        scales in 'qk'; Q values + scales in 'kq') follow FROZEN index maps
+        (first-touch fill, then alias the last-filled tile so the DMA is
+        elided); the per-step streams (do/lse/delta/corr/bias) keep the
+        true streaming index."""
         if width is None:
             width = num_q_blocks
 
@@ -736,17 +839,35 @@ def quantized_attention_backward(
             def hsel_kv(b, h, i, j):
                 return h // group
 
+        # Cached-operand index maps: freeze on the last-filled tile after
+        # first touch so the repeated DMAs are elided (deq caches hold the
+        # data). Per-step streams keep the raw qix/kix.
+        kix_vals, qix_vals = kix, qix
+        if order == "qk" and use_dq_cache:
+            def kix_vals(b, h, i, j, refs):
+                t = _last_filled(i, j)
+                return jnp.where(h % group == 0, t, num_k_blocks - 1)
+        if order == "kq" and not use_group and use_dkv_qcache:
+            def qix_vals(b, h, i, j, refs):
+                return jnp.where(i == 0, clamp_qi(i, j), num_q_blocks - 1)
+
         q_spec = pl.BlockSpec(
             (1, 1, block_q, head_dim // dq_pack),
-            lambda b, h, i, j, *refs: (b, hsel_q(b, h, i, j), qix(b, h, i, j, refs), 0),
+            lambda b, h, i, j, *refs: (
+                b, hsel_q(b, h, i, j), qix_vals(b, h, i, j, refs), 0
+            ),
         )
         k_spec = pl.BlockSpec(
             (1, 1, block_k, head_dim // dk_pack),
-            lambda b, h, i, j, *refs: (b, hsel_kv(b, h, i, j), kix(b, h, i, j, refs), 0),
+            lambda b, h, i, j, *refs: (
+                b, hsel_kv(b, h, i, j), kix_vals(b, h, i, j, refs), 0
+            ),
         )
         v_spec = pl.BlockSpec(
             (1, 1, block_k, head_dim // dv_pack),
-            lambda b, h, i, j, *refs: (b, hsel_kv(b, h, i, j), kix(b, h, i, j, refs), 0),
+            lambda b, h, i, j, *refs: (
+                b, hsel_kv(b, h, i, j), kix_vals(b, h, i, j, refs), 0
+            ),
         )
 
         def col_spec(stat):
@@ -754,7 +875,8 @@ def quantized_attention_backward(
             return pl.BlockSpec(
                 (1, 1, block_q if per_row else 1, 1),
                 lambda b, h, i, j, *refs, pr=per_row: (
-                    b, hsel_q(b, h, i, j), qix(b, h, i, j, refs) if pr else 0, 0
+                    b, hsel_q(b, h, i, j),
+                    qix_vals(b, h, i, j, refs) if pr else 0, 0
                 ),
             )
 
@@ -785,7 +907,7 @@ def quantized_attention_backward(
                 (1, 1, block_k if per_row else 1, 1),
                 lambda b, h, i, j, *refs, pr=per_row: (
                     b, hsel_kv(b, h, i, j),
-                    kix(b, h, i, j, refs) if pr else 0, 0,
+                    kix_vals(b, h, i, j, refs) if pr else 0, 0,
                 ),
             )
 
@@ -871,6 +993,7 @@ def quantized_attention_backward(
         num_k_blocks=fetch_kv.shape[3] if has_fetch else num_k_blocks,
         has_corr=has_corr, has_bias=has_bias,
         has_map=has_map, has_fetch=has_fetch, has_vm=has_vm,
+        kv_cache=use_dq_cache, group=group,
         diag_ns=diag_ns,
         **int4_flags,
     )
@@ -888,10 +1011,28 @@ def quantized_attention_backward(
         pltpu.VMEM((block_q, head_dim), jnp.float32),
         pltpu.VMEM((block_q, head_dim), jnp.bfloat16),  # deq Q
     ]
-    cparams = pltpu.CompilerParams(
-        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        vmem_limit_bytes=64 * 1024 * 1024,
-    )
+    if use_dq_cache:
+        dq_scratch += [
+            pltpu.VMEM((padded_sk, head_dim), jnp.bfloat16),  # deq K cache
+            pltpu.VMEM((padded_sk, head_dim), jnp.bfloat16),  # deq V cache
+        ]
+    if use_dq_cache:
+        # Fill schedule depends on iteration order within a head: qi must
+        # walk sequentially; under GQA the group shares the leader's fill
+        # (same semantics tradeoff the forward makes).
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel",
+                "parallel" if group == 1 else "arbitrary",
+                "arbitrary", "arbitrary",
+            ),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
+    else:
+        cparams = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        )
     if has_fetch:
         dq = pl.pallas_call(
             dq_kernel,
@@ -938,6 +1079,7 @@ def quantized_attention_backward(
         has_corr=has_corr, has_bias=has_bias,
         has_map=has_map, has_fetch=has_fetch,
         has_qm=has_qm, has_vm=has_vm,
+        q_cache=use_dkv_qcache,
         diag_ns=diag_ns,
         group=group if use_group_reduce else 1,
         nq_logical=dkv_width,
@@ -962,8 +1104,22 @@ def quantized_attention_backward(
         pltpu.VMEM((block_k, head_dim), jnp.bfloat16),  # deq K
         pltpu.VMEM((block_k, head_dim), jnp.bfloat16),  # deq V
     ]
+    if use_dkv_qcache:
+        dkv_scratch.append(
+            pltpu.VMEM((padded_sq, head_dim), jnp.bfloat16)  # deq Q cache
+        )
     dkv_in_specs = build_specs(
         "kq", use_group=use_group_reduce, width=dkv_width
+    )
+    # The Q deq cache is filled during outer step ki == 0: ki must walk
+    # sequentially ("arbitrary") so later steps read a warm cache.
+    dkv_cparams = pltpu.CompilerParams(
+        dimension_semantics=(
+            "parallel", "parallel",
+            "arbitrary" if use_dkv_qcache else "parallel",
+            "arbitrary",
+        ),
+        vmem_limit_bytes=64 * 1024 * 1024,
     )
     if has_fetch:
         dk, dv = pl.pallas_call(
@@ -976,7 +1132,7 @@ def quantized_attention_backward(
                 scratch_shapes=dkv_scratch,
             ),
             out_shape=dkv_out_shape,
-            compiler_params=cparams,
+            compiler_params=dkv_cparams,
             interpret=interpret,
         )(fetch_q, *base_args, *extra_args("kq"))
     else:
@@ -987,7 +1143,7 @@ def quantized_attention_backward(
             out_specs=dkv_out_specs,
             out_shape=dkv_out_shape,
             scratch_shapes=dkv_scratch,
-            compiler_params=cparams,
+            compiler_params=dkv_cparams,
             interpret=interpret,
         )(*base_args, *extra_args("kq"))
 
