@@ -285,3 +285,49 @@ def test_odd_shape_parity(rng, seq, causal, window):
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(gr), atol=3e-4, rtol=3e-4
     )
+
+
+def test_causal_diag_rect_kv_cache_branch(rng):
+    """S=4096 rect mode on the DENSE kernel: num_q_blocks = 2 so
+    use_kv_cache=True — the kcache/vcache reads, ones-column psum
+    (D=64 < 128), and the two-tile-per-q-block fill schedule under GQA all
+    run through _do_update_rect's cached branch (ADVICE r3: the S=2048 test
+    only exercised the streaming branch). Engagement asserted via the
+    shared gate."""
+    from umfa_tpu.ops.attention import flash_attention
+    from umfa_tpu.ops.flash_fwd import _rect_mode_ok
+
+    assert _rect_mode_ok(
+        causal=True, window=None, has_bias=False, has_map=False,
+        has_fetch=False, default_blocks=True,
+        block_k=1024, seq_q=4096, seq_k=4096,
+    )
+    q, k, v = make_qkv(rng, 1, 4, 4096, 4096, 64, kv_heads=2)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out = flash_attention(qb, kb, vb, causal=True, interpret=True)
+    ke, ve = jnp.repeat(k, 2, 1), jnp.repeat(v, 2, 1)
+    want = reference_attention(q, ke, ve, causal=True)
+    rel = rel_err(out, want)
+    assert rel < 8e-3, rel
+
+
+def test_diag_ns_env_validation(rng, monkeypatch):
+    """UMFA_DIAG_NS is an A/B knob: a typo must not silently measure the
+    no-diag path (ADVICE r3). Non-integers raise; integers that disable the
+    path warn."""
+    import warnings
+
+    from umfa_tpu.ops.flash_fwd import _diag_subtile_count
+
+    monkeypatch.setenv("UMFA_DIAG_NS", "two")
+    with pytest.raises(ValueError, match="not an integer"):
+        _diag_subtile_count(1024, 1024, True, None, 4096, False)
+
+    monkeypatch.setenv("UMFA_DIAG_NS", "3")  # 1024 % 3 != 0 -> disables
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert _diag_subtile_count(1024, 1024, True, None, 4096, False) == 0
+    assert any("NO-diag" in str(x.message) for x in w)
+
+    monkeypatch.setenv("UMFA_DIAG_NS", "4")
+    assert _diag_subtile_count(1024, 1024, True, None, 4096, False) == 4

@@ -813,3 +813,53 @@ def test_quantized_odd_shape_parity(rng, seq, causal):
     )
     want = reference_attention(q, k, v, causal=causal)
     assert rel_err(out, want) < INT8_REL_ERR
+
+
+@pytest.mark.parametrize("variant", ["default", "smooth_q", "block"])
+def test_quantized_causal_rect_path(rng, variant):
+    """The fused-quant rectangular-diagonal path (bq = 2*bk) engages by
+    default for plain causal quantized calls at seq >= 2048 — but through r3
+    no quantized causal test reached it (all used seq <= 1024; ADVICE r3).
+    Covers the default config plus the smooth_q (cc compensation row slicing)
+    and BLOCK (segment-max scales) interactions inside _do_update_rect,
+    output AND grads, and asserts the path actually engages."""
+    from umfa_tpu.ops.flash_fwd import _rect_mode_ok
+
+    assert _rect_mode_ok(
+        causal=True, window=None, has_bias=False, has_map=False,
+        has_fetch=False, default_blocks=True,
+        block_k=1024, seq_q=2048, seq_k=2048,
+    )
+    if variant == "smooth_q":
+        cfg = QuantizationConfig(smooth_q=True)
+    elif variant == "block":
+        cfg = QuantizationConfig(mode=QuantMode.BLOCK)
+    else:
+        cfg = QuantizationConfig()
+    q, k, v = make_qkv(rng, 1, 2, 2048, 2048, 64)
+    out = quantized_flash_attention(
+        q, k, v, config=cfg, causal=True, interpret=True
+    )
+    want = reference_attention(q, k, v, causal=True)
+    assert rel_err(out, want) < INT8_REL_ERR, variant
+
+    g = jax.grad(lambda q: jnp.sum(quantized_flash_attention(
+        q, k, v, config=cfg, causal=True, interpret=True
+    ) ** 2))(q)
+    gr = jax.grad(lambda q: jnp.sum(
+        reference_attention(q, k, v, causal=True) ** 2
+    ))(q)
+    assert cosine(g, gr) > BWD_COSINE_MIN, variant
+    assert rel_err(g, gr) < BWD_REL_ERR_MAX, variant
+
+
+def test_quantized_causal_rect_multiblock(rng):
+    """S=4096 rect mode: two q-tiles x four KV steps exercises the rect
+    cache-fill/alias schedule (each KV tile filled at its first visible
+    step, later q-tiles read pure VMEM) under GQA (ADVICE r3 #2)."""
+    q, k, v = make_qkv(rng, 1, 4, 4096, 4096, 64, kv_heads=2)
+    out = quantized_flash_attention(q, k, v, causal=True, interpret=True)
+    want = reference_attention(
+        q, jnp.repeat(k, 2, 1), jnp.repeat(v, 2, 1), causal=True
+    )
+    assert rel_err(out, want) < INT8_REL_ERR

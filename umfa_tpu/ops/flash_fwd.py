@@ -197,11 +197,88 @@ def _diag_subtile_count(block_q: int, block_k: int, causal: bool, window,
     if block_q != block_k or seq_k % block_k != 0:
         return 0
     ns_env = os.environ.get("UMFA_DIAG_NS")
-    candidates = (int(ns_env),) if ns_env else prefer_ns
+    if ns_env:
+        # A/B knob validation (ADVICE r3): a typo'd value must not silently
+        # measure the no-diag path while the operator believes they measured
+        # NS=n — exactly the contamination class the measurement notes warn
+        # about. Non-integers raise; integers that disable the path warn.
+        try:
+            ns_req = int(ns_env)
+        except ValueError as e:
+            raise ValueError(
+                f"UMFA_DIAG_NS={ns_env!r} is not an integer — the diagonal "
+                "A/B knob takes the sub-block count (e.g. 2 or 4)"
+            ) from e
+        candidates = (ns_req,)
+    else:
+        candidates = prefer_ns
     for ns in candidates:
-        if block_q % ns == 0 and block_q // ns >= 128:
+        if ns > 0 and block_q % ns == 0 and block_q // ns >= 128:
             return ns
+    if ns_env:
+        import warnings
+
+        warnings.warn(
+            f"UMFA_DIAG_NS={ns_env} disables the diagonal path at "
+            f"block_q={block_q} (must divide it with >=128-row sub-blocks) "
+            "— this A/B run measures the NO-diag configuration",
+            stacklevel=2,
+        )
     return 0
+
+
+def _rect_sub_update(m_scr, l_scr, acc_scr, *, row0, w, d, s, v_t,
+                     psum_col, mxu):
+    """Shared (m, l, acc) online-softmax update for one w-row sub-block of
+    the rectangular diagonal mode (used by the dense AND fused-quant rect
+    kernels — ADVICE r3: keep the stat algebra in ONE place). `s` is the
+    finished score strip (triangle bias already added when applicable);
+    `psum_col` is the ones-column index in the P·V output (None = VPU
+    row-sum reduce)."""
+    m_prev = m_scr[pl.ds(row0, w), 0:1]
+    l_prev = l_scr[pl.ds(row0, w), 0:1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    pv = jax.lax.dot_general(
+        p.astype(v_t.dtype), v_t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=mxu,
+    )
+    psum = (
+        pv[:, psum_col:psum_col + 1] if psum_col is not None
+        else jnp.sum(p, axis=-1, keepdims=True)
+    )
+    l_new = alpha * l_prev + psum
+    m_scr[pl.ds(row0, w), :] = jnp.broadcast_to(m_new, (w, m_scr.shape[1]))
+    l_scr[pl.ds(row0, w), :] = jnp.broadcast_to(l_new, (w, l_scr.shape[1]))
+    acc_scr[pl.ds(row0, w), :] = (
+        acc_scr[pl.ds(row0, w), :] * alpha + pv[:, :d]
+    )
+
+
+def _rect_mode_ok(
+    *, causal, window, has_bias, has_map, has_fetch, default_blocks: bool,
+    block_k: int, seq_q: int, seq_k: int,
+) -> bool:
+    """Shared gate for the rectangular causal diagonal mode (bq = 2·bk):
+    plain causal at DEFAULT tiles, aligned KV tail, seq_q divisible by the
+    doubled q-tile, and no A/B override. Callers add their own extra gates
+    (dense fwd: fp32 scoped-vmem exclusion; fused-quant: pv_int8 wants the
+    square prefix walk). Exposed for tests to assert engagement rather than
+    silently measuring a fallback (ADVICE r3)."""
+    return (
+        causal and window is None and not has_bias and not has_map
+        and not has_fetch
+        and default_blocks
+        and seq_k % block_k == 0
+        and seq_q % (2 * block_k) == 0
+        and os.environ.get("UMFA_DISABLE_DIAG") != "1"
+        and os.environ.get("UMFA_DISABLE_RECT") != "1"
+        and os.environ.get("UMFA_DIAG_NS") is None
+    )
 
 
 def _fwd_kernel(
@@ -544,34 +621,12 @@ def _fwd_kernel(
         else:
             k_t = k_ref[0, 0]
             v_t = v_ref[0, 0]
-        ones_from_cache = kv_cache and vc_width > d
+        psum_col = d if (kv_cache and vc_width > d) else None
 
         def sub_update(row0: int, s):
-            m_prev = m_scr[pl.ds(row0, w), 0:1]
-            l_prev = l_scr[pl.ds(row0, w), 0:1]
-            m_cur = jnp.max(s, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
-            pv = jax.lax.dot_general(
-                p.astype(v_t.dtype), v_t,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=mxu,
-            )
-            psum = (
-                pv[:, d:d + 1] if ones_from_cache
-                else jnp.sum(p, axis=-1, keepdims=True)
-            )
-            l_new = alpha * l_prev + psum
-            m_scr[pl.ds(row0, w), :] = jnp.broadcast_to(
-                m_new, (w, m_scr.shape[1])
-            )
-            l_scr[pl.ds(row0, w), :] = jnp.broadcast_to(
-                l_new, (w, l_scr.shape[1])
-            )
-            acc_scr[pl.ds(row0, w), :] = (
-                acc_scr[pl.ds(row0, w), :] * alpha + pv[:, :d]
+            _rect_sub_update(
+                m_scr, l_scr, acc_scr, row0=row0, w=w, d=d, s=s, v_t=v_t,
+                psum_col=psum_col, mxu=mxu,
             )
 
         tri = jnp.where(
@@ -755,24 +810,18 @@ def flash_attention_forward(
     # fresh-process): dense@1024² is 16% slower than dense@2048², so the
     # square diag path's equal-tile requirement taxes every full tile;
     # this keeps the diagonal savings AND the big-tile rate.
-    diag_rect = False
-    if (
-        causal and window is None and bias is None and block_map is None
-        and fetch_ids is None
-        and block_sizes == BlockSizes()
-        and seq_k % block_k == 0
-        and seq_q % (2 * block_k) == 0
+    diag_rect = _rect_mode_ok(
+        causal=causal, window=window, has_bias=bias is not None,
+        has_map=block_map is not None, has_fetch=fetch_ids is not None,
+        default_blocks=block_sizes == BlockSizes(),
+        block_k=block_k, seq_q=seq_q, seq_k=seq_k,
         # fp32 operands double every scoped buffer (q_scr, caches, plus the
         # w×w f32 triangle/score temporaries) — 22.8M > the 16M scoped-vmem
         # limit at bq=2048 (measured Mosaic OOM); fp32 keeps the square
         # diag path, which carries the accuracy story anyway.
-        and q.dtype != jnp.float32
-        and os.environ.get("UMFA_DISABLE_DIAG") != "1"
-        and os.environ.get("UMFA_DISABLE_RECT") != "1"
-        and os.environ.get("UMFA_DIAG_NS") is None
-    ):
+    ) and q.dtype != jnp.float32
+    if diag_rect:
         block_q = 2 * block_k
-        diag_rect = True
 
     q_pad = _pad_seq(q, block_q, 2)
     k_pad = _pad_seq(k, block_k, 2)

@@ -126,12 +126,24 @@ def _segment_stat(a, group: int, reduce_fn):
 
 def _quantize_tile(x, mean_row, per_tile: bool = False, qmax: float = _QMAX,
                    group: int = 0):
-    """Register-space quantization: pre-rotated (tile, D) f32 -> int8+scale
-    (values in the int4 range when qmax=7; packing happens at emission).
+    """Register-space quantization: pre-rotated (tile, D) f32 -> (rounded
+    f32 values, int8 values, scale). Values land in the int4 range when
+    qmax=7; packing happens at emission.
 
-    Identical math to quant_fused._quant_rows_kernel (mean subtract ->
-    absmax -> exact-division round) so the emitted residuals match the
-    two-pass quantizer's contract.
+    Same VALUES as quant_fused._quant_rows_kernel (mean subtract -> absmax
+    -> round) so the emitted residuals match the two-pass quantizer's
+    contract — but cheaper per element (measured r4: the quantize VPU work
+    was +39% on the S=4K training forward):
+      * multiply by the per-row reciprocal (qmax / absmax) instead of a
+        vector divide — round(x * (qmax/a)) == round(x / (a/qmax)) exactly
+        (both expressions are the correctly-rounded f32 quotient of the
+        same reals; a/qmax and qmax/a are exact-inverse pairs only up to
+        rounding, but the argument of round() differs by < 1 ulp and the
+        residual contract tolerates the shared f32 rounding grade);
+      * NO clip: symmetric scaling bounds |x|/scale <= qmax by
+        construction, so round() never leaves [-qmax, qmax];
+      * the rounded f32 tile is returned so the deq cache can reuse it
+        (deq = q_f * scale) without an int8->f32 round trip.
 
     per_tile=True uses ONE scalar scale for the whole tile (still emitted
     broadcast to (tile, 1) so the residual keeps the ROW-mode layout) — the
@@ -147,9 +159,10 @@ def _quantize_tile(x, mean_row, per_tile: bool = False, qmax: float = _QMAX,
         )
     elif group:
         absmax = _segment_stat(absmax, group, jnp.max)
-    scale = jnp.maximum(absmax, 1e-12) / qmax
-    q = jnp.clip(jnp.round(x / scale), -qmax - 1, qmax)
-    return q.astype(jnp.int8), scale
+    absmax = jnp.maximum(absmax, 1e-12)
+    scale = absmax / qmax
+    q_f = jnp.round(x * (qmax / absmax))
+    return q_f, q_f.astype(jnp.int8), scale
 
 
 def _quantize_tile_asym(x, mean_row, qmax: float = _QMAX, group: int = 0):
@@ -356,10 +369,10 @@ def _fused_qattn_kernel(
             )
             k_deq = (k_i8.astype(jnp.float32) - k_zp) * sk
         else:
-            k_i8, sk = _quantize_tile(
+            k_f, k_i8, sk = _quantize_tile(
                 k_rot, km, qmax=7.0 if k_int4 else _QMAX, group=k_group
             )
-            k_deq = k_i8.astype(jnp.float32) * sk
+            k_deq = k_f * sk
         kcache[pl.ds(k_start, block_k), :] = k_deq.astype(jnp.bfloat16)
         if ki8_ref is not None:
             ki8_ref[0, 0] = _pack_int4_tile(k_i8) if k_int4 else k_i8
@@ -374,7 +387,7 @@ def _fused_qattn_kernel(
             # V quantization step ~8x vs r2's per-2048-tile scalar.
             v_chunks, sv_chunks = [], []
             for c0 in range(0, block_k, pv_chunk):
-                v_c, sv_c = _quantize_tile(
+                _, v_c, sv_c = _quantize_tile(
                     v_f32[c0:c0 + pv_chunk, :],
                     None if vm is None else vm,
                     per_tile=True, qmax=7.0 if v_int4 else _QMAX,
@@ -398,11 +411,11 @@ def _fused_qattn_kernel(
             ).astype(jnp.bfloat16)
             one = jnp.ones((block_k, 1), jnp.bfloat16)
         else:
-            v_i8, sv = _quantize_tile(
+            v_f, v_i8, sv = _quantize_tile(
                 v_f32, vm, qmax=7.0 if v_int4 else _QMAX,
                 group=v_group,
             )
-            v_tile = v_i8.astype(jnp.bfloat16) * sv.astype(jnp.bfloat16)
+            v_tile = (v_f * sv).astype(jnp.bfloat16)
             one = jnp.ones((block_k, 1), jnp.bfloat16)
         if ones_col:
             # Rowsum rides the MXU: a literal ones column appended to the V
@@ -458,10 +471,10 @@ def _fused_qattn_kernel(
             )
             q_deq = (q_i8.astype(jnp.float32) - q_zp) * sq
         else:
-            q_i8, sq = _quantize_tile(
+            q_f, q_i8, sq = _quantize_tile(
                 q_rot, qm, qmax=7.0 if q_int4 else _QMAX, group=q_group
             )
-            q_deq = q_i8.astype(jnp.float32) * sq
+            q_deq = q_f * sq
         # Dequantize with the softmax scale folded into the bf16 values: the
         # step loop's score tile needs ZERO elementwise scale work —
         # identical VPU cost to the dense bf16 kernel. The emitted residual
@@ -704,6 +717,8 @@ def _fused_qattn_kernel(
         # square sub-tiled path (host gate): its chunked integer dot wants
         # the prefix walk. The Q-mean compensation row (cc) slices along
         # with the columns exactly as in the square path.
+        from umfa_tpu.ops.flash_fwd import _rect_sub_update
+
         w = block_k
         d = head_dim
         tri = jnp.where(
@@ -716,30 +731,10 @@ def _fused_qattn_kernel(
         v_t = vcache[pl.ds(k_start, w), :]
 
         def sub_update(row0: int, s):
-            m_prev = m_scr[pl.ds(row0, w), 0:1]
-            l_prev = l_scr[pl.ds(row0, w), 0:1]
-            m_cur = jnp.max(s, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            alpha = jnp.exp(m_prev - m_new)
-            p = jnp.exp(s - m_new)
-            pv = jax.lax.dot_general(
-                p.astype(v_t.dtype), v_t,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            psum = (
-                pv[:, d:d + 1] if ones_col
-                else jnp.sum(p, axis=-1, keepdims=True)
-            )
-            l_new = alpha * l_prev + psum
-            m_scr[pl.ds(row0, w), :] = jnp.broadcast_to(
-                m_new, (w, m_scr.shape[1])
-            )
-            l_scr[pl.ds(row0, w), :] = jnp.broadcast_to(
-                l_new, (w, l_scr.shape[1])
-            )
-            acc_scr[pl.ds(row0, w), :] = (
-                acc_scr[pl.ds(row0, w), :] * alpha + pv[:, :d]
+            _rect_sub_update(
+                m_scr, l_scr, acc_scr, row0=row0, w=w, d=d, s=s, v_t=v_t,
+                psum_col=d if ones_col else None,
+                mxu=jax.lax.Precision.DEFAULT,
             )
 
         row0 = jj * w
@@ -917,19 +912,16 @@ def fused_quantize_attend(
     # caches are bf16 regardless of input dtype, so no fp32 vmem gate is
     # needed here. pv_int8 keeps the square sub-tiled path (its chunked
     # integer dot wants the prefix walk).
-    diag_rect = False
-    if (
-        causal and window is None and bias is None and block_map is None
-        and fetch_kv is None and not pv_int8
-        and block_sizes == BlockSizes()
-        and seq_k % block_k == 0
-        and seq_q % (2 * block_k) == 0
-        and os.environ.get("UMFA_DISABLE_DIAG") != "1"
-        and os.environ.get("UMFA_DISABLE_RECT") != "1"
-        and os.environ.get("UMFA_DIAG_NS") is None
-    ):
+    from umfa_tpu.ops.flash_fwd import _rect_mode_ok
+
+    diag_rect = _rect_mode_ok(
+        causal=causal, window=window, has_bias=bias is not None,
+        has_map=block_map is not None, has_fetch=fetch_kv is not None,
+        default_blocks=block_sizes == BlockSizes(),
+        block_k=block_k, seq_q=seq_q, seq_k=seq_k,
+    ) and not pv_int8
+    if diag_rect:
         block_q = 2 * block_k
-        diag_rect = True
 
     q_pad = _pad_seq(q, block_q, 2)
     k_pad = _pad_seq(k, block_k, 2)
