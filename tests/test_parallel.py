@@ -232,6 +232,24 @@ def test_pallas_ring_gqa(rng):
     )
 
 
+def test_pallas_ring_selfloop_mode(rng):
+    """Self-loop validation mode (VERDICT r3 #5): one device sends its own
+    chunk to itself for n steps — the harness used to Mosaic-compile the
+    full RDMA protocol on a single real chip. Checked here in interpret
+    mode so the degenerate-ring routing (only step 0 computes; credits
+    self-paired) stays correct."""
+    from umfa_tpu.parallel.ring_pallas import ring_pallas_selfloop_check
+
+    rel, _, _ = ring_pallas_selfloop_check(
+        seq=512, n_steps=4, causal=True, interpret=True
+    )
+    assert rel < 5e-3
+    rel, _, _ = ring_pallas_selfloop_check(
+        seq=512, n_steps=3, causal=False, interpret=True
+    )
+    assert rel < 5e-3
+
+
 def test_quantized_ring_accuracy_penalty_bounded(rng):
     """Bound the int8-ring accuracy penalty vs int8 single-chip (VERDICT r2
     weak #9). The ring quantizes per chunk with Q-mean smoothing forfeited

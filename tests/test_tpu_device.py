@@ -66,3 +66,15 @@ def test_decode_on_hardware(rng):
     out = decode_attention(q_full[:, :, -1:], cache)
     want = np.asarray(reference_attention(q_full[:, :, -1:], k_full, v_full))
     assert rel_err(np.asarray(out, np.float32), want) < 0.03
+
+
+def test_ring_rdma_selfloop_mosaic(rng):
+    """Mosaic codegen of the FULL RDMA ring protocol on one chip (VERDICT
+    r3 #5): make_async_remote_copy sends/waits, the barrier semaphore, the
+    capacity-credit flow control, and the double-buffered HBM comm buffer
+    all compile and run (n_steps=4 exercises the credit wait). Parity vs
+    the single-device dense kernel."""
+    from umfa_tpu.parallel.ring_pallas import ring_pallas_selfloop_check
+
+    rel, _, _ = ring_pallas_selfloop_check(seq=1024, n_steps=4, causal=True)
+    assert rel < 5e-3

@@ -85,6 +85,7 @@ def _ring_fwd_kernel(
     zigzag: bool,
     in_dtype,
     out_dtype,
+    self_loop: bool = False,
 ):
     step = pl.program_id(0)
     b = pl.program_id(1)
@@ -96,8 +97,21 @@ def _ring_fwd_kernel(
     hkv = h // group
 
     my = jax.lax.axis_index(axis_name)
-    left = (my - 1) % n
-    right = (my + 1) % n
+    if self_loop:
+        # Single-chip Mosaic validation of the FULL comm protocol (VERDICT
+        # r3 #5: make_async_remote_copy, barrier + capacity semaphores, and
+        # the double-buffered HBM comm buffer had only ever met the
+        # interpreter): the ring degenerates to one device sending its own
+        # chunk to itself for `n` grid steps. Only step 0 computes, so the
+        # output equals single-device attention — parity-checkable — while
+        # every RDMA/semaphore op goes through real codegen: step 0 sends
+        # slot 0→1, step 1 waits that receive, capacity-credits itself and
+        # sends 1→0, step 2 waits again (n >= 3 exercises the credit wait).
+        left = my
+        right = my
+    else:
+        left = (my - 1) % n
+        right = (my + 1) % n
     src = (my - step) % n  # ring slot of the chunk held this step
     cur = step % 2
     nxt = (step + 1) % 2
@@ -116,7 +130,12 @@ def _ring_fwd_kernel(
 
     # Compute-visibility of this whole step for this device (causal only):
     # with the contiguous layout, chunk src is visible iff src <= my.
-    if causal and not zigzag:
+    if self_loop:
+        step_visible = step == 0
+        will_send = jnp.bool_(step < n - 1)
+        will_recv = jnp.bool_(step < n - 1)
+        recvd_this_step = jnp.bool_(True)
+    elif causal and not zigzag:
         step_visible = src <= my
         # Sender: chunk held at step s is useful to the right neighbour
         # (who computes it at s+1) iff s <= my and right exists (my < n-1).
@@ -352,7 +371,9 @@ def _ring_fwd_kernel(
             # send drained. The left neighbour targets this slot with its
             # send at step+1 — credit it one "slot free". Pair exactly with
             # the sender's wait (sends at s >= 1 wait one credit).
-            if causal and not zigzag:
+            if self_loop:
+                left_sends_next = jnp.bool_(step + 1 < n - 1)
+            elif causal and not zigzag:
                 left_sends_next = jnp.logical_and(
                     step + 1 <= left, left < n - 1
                 )
@@ -369,7 +390,7 @@ def _ring_fwd_kernel(
 
 def _ring_fwd_pallas(
     q, k, v, *, axis_name, n, causal, zigzag, scale, block_q, block_k,
-    interpret,
+    interpret, self_loop=False,
 ):
     batch, heads, s_loc, head_dim = q.shape
     _, kv_heads, _, _ = k.shape
@@ -393,6 +414,7 @@ def _ring_fwd_pallas(
         block_q=block_q, block_k=block_k,
         scale=scale, causal=causal, zigzag=zigzag,
         in_dtype=q.dtype, out_dtype=out_dtype,
+        self_loop=self_loop,
     )
 
     if interpret:
@@ -573,3 +595,64 @@ def _ring_vjp_bwd(key: _RingKey, residuals, g):
 
 
 _ring_pallas_vjp.defvjp(_ring_vjp_fwd, _ring_vjp_bwd)
+
+
+def ring_pallas_selfloop_check(
+    *,
+    batch: int = 1,
+    heads: int = 2,
+    seq: int = 1024,
+    head_dim: int = 128,
+    n_steps: int = 4,
+    causal: bool = True,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+    seed: int = 0,
+):
+    """Single-chip Mosaic validation of the RDMA ring protocol (VERDICT r3
+    #5): runs the ring kernel with `n_steps` grid steps on a ONE-device mesh
+    in self-loop mode — every `make_async_remote_copy`, the barrier
+    semaphore, the capacity-credit flow control, and the double-buffered HBM
+    comm buffer go through real Mosaic codegen (never possible via the
+    n>=2 path in a one-chip environment; interpret-green != Mosaic-green is
+    this repo's hardest-won lesson). Only step 0 computes, so the output
+    must match single-device `flash_attention` exactly in routing terms.
+
+    Returns (max_rel_err, ring_out, dense_out); raises AssertionError on
+    parity failure. n_steps >= 3 exercises the capacity-credit wait.
+    """
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from umfa_tpu.ops.attention import flash_attention
+    from umfa_tpu.utils.compat import shard_map
+
+    rng = jax.random.PRNGKey(seed)
+    kq, kk, kv_ = jax.random.split(rng, 3)
+    shape = (batch, heads, seq, head_dim)
+    q = jax.random.normal(kq, shape, jnp.float32).astype(dtype)
+    k = jax.random.normal(kk, shape, jnp.float32).astype(dtype)
+    v = jax.random.normal(kv_, shape, jnp.float32).astype(dtype)
+    scale = head_dim**-0.5
+
+    mesh = Mesh(jax.devices()[:1], ("sp",))
+    block = min(1024, seq)
+
+    def inner(q, k, v):
+        o, _ = _ring_fwd_pallas(
+            q, k, v, axis_name="sp", n=n_steps, causal=causal,
+            zigzag=False, scale=scale, block_q=block, block_k=block,
+            interpret=interpret, self_loop=True,
+        )
+        return o
+
+    ring_fn = jax.jit(shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(), P(), P()), out_specs=P(),
+    ))
+    out = ring_fn(q, k, v)
+    want = flash_attention(q, k, v, causal=causal, interpret=interpret)
+    a = jnp.asarray(out, jnp.float32)
+    b = jnp.asarray(want, jnp.float32)
+    rel = float(jnp.linalg.norm(a - b) / jnp.maximum(jnp.linalg.norm(b), 1e-9))
+    assert rel < 5e-3, f"self-loop ring parity failed: rel={rel}"
+    return rel, out, want
