@@ -128,3 +128,54 @@ def test_causal_diag_subtile_backward(rng):
     for g, gr in zip(got, want):
         rel = float(jnp.linalg.norm(g - gr) / jnp.linalg.norm(gr))
         assert rel < 3e-5, rel
+
+
+def test_causal_rect_backward(rng):
+    """Rectangular causal diagonal for the backward (bq = 2·bk, VERDICT r3
+    #7): engages for plain causal bf16 at default tiles. S=4096 GQA covers
+    both partial kinds (triangle-at-sub-block-0 with full rows below;
+    triangle-at-sub-block-1) AND full (2048, 1024)-geometry tiles in both
+    passes. Engagement asserted via the shared gate; the fp32 exclusion and
+    the UMFA_DISABLE_RECT_BWD A/B knob are checked for equality with the
+    square path."""
+    from umfa_tpu.ops.flash_fwd import _rect_mode_ok
+
+    assert _rect_mode_ok(
+        causal=True, window=None, has_bias=False, has_map=False,
+        has_fetch=False, default_blocks=True,
+        block_k=1024, seq_q=4096, seq_k=4096,
+    )
+    q, k, v = make_qkv(rng, 1, 4, 4096, 4096, 64, kv_heads=2)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+    got = _grads(
+        lambda q, k, v: flash_attention(q, k, v, causal=True, interpret=True),
+        qb, kb, vb,
+    )
+    want = _grads(
+        lambda q, k, v: reference_attention(
+            q, jnp.repeat(k, 2, 1), jnp.repeat(v, 2, 1), causal=True
+        ),
+        q, k, v,
+    )
+    for name, g, gr in zip("qkv", got, want):
+        g = np.asarray(g, np.float32)
+        gr = np.asarray(gr, np.float32)
+        rel = float(np.linalg.norm(g - gr) / np.linalg.norm(gr))
+        assert rel < 1e-2, (name, rel)
+
+
+def test_causal_rect_backward_knob_matches_square(rng, monkeypatch):
+    """UMFA_DISABLE_RECT_BWD=1 routes to the square diag path; both paths
+    compute the same FP32 gradients up to accumulation order (bf16 inputs,
+    tight tolerance since operands are identical)."""
+    q, k, v = make_qkv(rng, 1, 2, 2048, 2048, 64)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+
+    fn = lambda q, k, v: flash_attention(q, k, v, causal=True, interpret=True)
+    rect = _grads(fn, qb, kb, vb)
+    monkeypatch.setenv("UMFA_DISABLE_RECT_BWD", "1")
+    square = _grads(fn, qb, kb, vb)
+    for name, a, b in zip("qkv", rect, square):
+        rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(b))
+        assert rel < 2e-6, (name, rel)

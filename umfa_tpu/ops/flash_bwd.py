@@ -95,6 +95,7 @@ def _dq_kernel(
     has_map,
     has_fetch=False,
     diag_ns=0,
+    diag_rect=False,
 ):
     refs = list(refs)
     fetch_ref = None
@@ -228,9 +229,87 @@ def _dq_kernel(
                 )
             dq_scr[i * w:(i + 1) * w, :] += scale * dq_i
 
+    def _dq_rect_piece(r0: int, nr: int, k, v, k0: int, nk: int, bias_tri):
+        """dQ contribution of q rows [r0, r0+nr) vs KV cols [k0, k0+nk) of
+        the resident tile (static indices → lane selects)."""
+        mxu = _mxu(k.dtype)
+        qf = q_ref[0, 0][r0:r0 + nr, :]
+        qf = (qf.astype(jnp.float32) * scale).astype(qf.dtype)
+        do_r = do_ref[0, 0][r0:r0 + nr, :].astype(jnp.float32)
+        lse_r = lse_ref[0, 0][r0:r0 + nr, :]
+        delta_r = delta_ref[0, 0][r0:r0 + nr, :]
+        k_c = k[k0:k0 + nk, :]
+        v_c = v[k0:k0 + nk, :]
+        s = jax.lax.dot_general(
+            qf, k_c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu,
+        )
+        if bias_tri is not None:
+            s = s + bias_tri
+        p = jnp.exp(s - lse_r)
+        dp = jax.lax.dot_general(
+            do_r.astype(v.dtype), v_c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mxu(v.dtype),
+        )
+        ds = p * (dp - delta_r)
+        dq_scr[r0:r0 + nr, :] += scale * jax.lax.dot_general(
+            ds.astype(k.dtype), k_c,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu,
+        )
+
+    def _do_update_rect(jj: int, full_below: bool):
+        # Rectangular causal diagonal, dQ orientation (bq == 2·bk, w = bk):
+        # the partial KV tile at k_start == q_start + jj·w has a w×w
+        # triangle on q sub-block jj, full visibility for the rows below it
+        # (jj == 0 only), and nothing above. The triangle block is further
+        # sub-tiled exactly like the square diag path (prefix dot + ws×ws
+        # corner, NS sub-blocks) — without it the rect diagonal band costs
+        # 3.0 tile-units vs the square path's 2.25 and the mode LOSES
+        # (measured r4: 1.435 vs 1.181 ms full train step at S=4K); with it
+        # the band matches square at 2.25 while FULL tiles keep the 2·bk
+        # q-tile rate (see flash_fwd._do_update_rect).
+        w = block_q // 2
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        ns = diag_ns if diag_ns else 4
+        ws = w // ns
+        tri = _tri_bias(ws)
+        row0 = jj * w
+        for i in range(ns):
+            r0 = row0 + i * ws
+            n_pre = i * ws
+            if n_pre:
+                _dq_rect_piece(r0, ws, k, v, 0, n_pre, None)
+            _dq_rect_piece(r0, ws, k, v, n_pre, ws, tri)
+        if full_below:
+            _dq_rect_piece(w, w, k, v, 0, w, None)
+
     masked = causal or window is not None or bool(seq_k % block_k)
     if masked:
-        if diag_ns:
+        if diag_rect:
+            at_diag0 = k_start == q_start
+
+            @pl.when(
+                jnp.logical_and(visible, jnp.logical_and(partial, at_diag0))
+            )
+            def _compute_rect0():
+                _do_update_rect(0, True)
+
+            @pl.when(
+                jnp.logical_and(
+                    visible,
+                    jnp.logical_and(partial, jnp.logical_not(at_diag0)),
+                )
+            )
+            def _compute_rect1():
+                _do_update_rect(1, False)
+        elif diag_ns:
             @pl.when(jnp.logical_and(visible, partial))
             def _compute_diag():
                 _do_update_diag()
@@ -270,6 +349,7 @@ def _dkv_kernel(
     group=1,
     nq_logical=None,
     diag_ns=0,
+    diag_rect=False,
 ):
     refs = list(refs)
     fetch_ref = None
@@ -435,9 +515,92 @@ def _dkv_kernel(
             dv_scr[j * w:(j + 1) * w, :] += dv_j
             dk_scr[j * w:(j + 1) * w, :] += scale * dk_j
 
+    def _dkv_rect_piece(k0: int, nk: int, k, v, r0: int, nr: int, bias_tri):
+        """dK/dV contribution of q rows [r0, r0+nr) vs KV cols [k0, k0+nk)
+        of the resident tile (static indices → lane selects)."""
+        mxu = _mxu(k.dtype)
+        q_r = q_ref[0, 0][r0:r0 + nr, :]
+        qf = (q_r.astype(jnp.float32) * scale).astype(q_r.dtype)
+        do_r = do_ref[0, 0][r0:r0 + nr, :].astype(jnp.float32)
+        lse_r = lse_ref[0, 0][r0:r0 + nr, :]
+        delta_r = delta_ref[0, 0][r0:r0 + nr, :]
+        k_c = k[k0:k0 + nk, :]
+        v_c = v[k0:k0 + nk, :]
+        s = jax.lax.dot_general(
+            qf, k_c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu,
+        )
+        if bias_tri is not None:
+            s = s + bias_tri
+        p = jnp.exp(s - lse_r)
+        dv_scr[k0:k0 + nk, :] += jax.lax.dot_general(
+            p.astype(v.dtype), do_r.astype(v.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mxu(v.dtype),
+        )
+        dp = jax.lax.dot_general(
+            do_r.astype(v.dtype), v_c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mxu(v.dtype),
+        )
+        ds = p * (dp - delta_r)
+        dk_scr[k0:k0 + nk, :] += scale * jax.lax.dot_general(
+            ds.astype(q_r.dtype), q_r,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu,
+        )
+
+    def _do_update_rect_kq(jj: int, full_below: bool):
+        # Rectangular causal diagonal, dK/dV orientation (bq == 2·bk,
+        # w = bk): the partial q tile at q_start == k_start − jj·w has the
+        # w×w triangle on q-row sub-block jj, full visibility for the rows
+        # below it (jj == 0 only: q rows [w, 2w) see every col of this KV
+        # tile), and nothing above. The triangle is sub-tiled like the
+        # square diag path (ws×ws corner + q-row suffix per k sub-block) so
+        # the diagonal band costs the square path's 2.25 tile-units, not
+        # 3.0 (see _do_update_rect).
+        w = block_k
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        ns = diag_ns if diag_ns else 4
+        ws = w // ns
+        tri = _tri_bias(ws)
+        row0 = jj * w
+        for j in range(ns):
+            k0 = j * ws
+            r0 = row0 + j * ws
+            _dkv_rect_piece(k0, ws, k, v, r0, ws, tri)
+            n_post = w - (j + 1) * ws
+            if n_post:
+                _dkv_rect_piece(k0, ws, k, v, r0 + ws, n_post, None)
+        if full_below:
+            _dkv_rect_piece(0, w, k, v, w, w, None)
+
     masked = causal or window is not None or bool(seq_k % block_k)
     if masked:
-        if diag_ns:
+        if diag_rect:
+            at_diag0 = q_start == k_start
+
+            @pl.when(
+                jnp.logical_and(visible, jnp.logical_and(partial, at_diag0))
+            )
+            def _compute_rect0():
+                _do_update_rect_kq(0, True)
+
+            @pl.when(
+                jnp.logical_and(
+                    visible,
+                    jnp.logical_and(partial, jnp.logical_not(at_diag0)),
+                )
+            )
+            def _compute_rect1():
+                _do_update_rect_kq(1, False)
+        elif diag_ns:
             @pl.when(jnp.logical_and(visible, partial))
             def _compute_diag():
                 _do_update_diag()
@@ -718,6 +881,31 @@ def flash_attention_backward(
     block_q = _choose_block(q_req, seq_q, head_dim)
     block_k = _choose_block(block_sizes.block_k_dq, seq_k, head_dim)
 
+    # Rectangular causal diagonal (bq = 2·bk) for the backward (VERDICT r3
+    # #7): same gate as the forward (plain causal, default tiles, aligned
+    # seqs, no A/B override) — FULL tiles then run at the 2048-row q-tile
+    # rate in BOTH passes while the two partial tiles per q tile keep the
+    # triangle/underflow trick. fp32 stays on the square path: the rect
+    # full-tile p/dp/ds temporaries are (2·bk, bk) f32 (the fwd's measured
+    # scoped-vmem exclusion applies at least as hard here).
+    # UMFA_DISABLE_RECT_BWD=1 A/Bs the backward independently of the fwd.
+    from umfa_tpu.ops.flash_fwd import _rect_mode_ok
+
+    import os as _os
+
+    diag_rect = (
+        _rect_mode_ok(
+            causal=causal, window=window, has_bias=bias is not None,
+            has_map=block_map is not None, has_fetch=fetch_kv is not None,
+            default_blocks=block_sizes == BlockSizes(),
+            block_k=block_k, seq_q=seq_q, seq_k=seq_k,
+        )
+        and q.dtype != jnp.float32
+        and _os.environ.get("UMFA_DISABLE_RECT_BWD") != "1"
+    )
+    if diag_rect:
+        block_q = 2 * block_k
+
     # D = rowsum(dO ∘ O) — FP32 per-row statistic (reference's D scratch,
     # MFABridge.swift:3241-3243). A cotangent on LSE folds in exactly here:
     # dL/ds_ij gains g_lse_i · p_ij, i.e. ds = p∘(dp − (D − g_lse)).
@@ -882,7 +1070,7 @@ def flash_attention_backward(
     from umfa_tpu.ops.flash_fwd import _diag_subtile_count
 
     diag_ns = 0
-    if not has_fetch and not has_map:
+    if not has_fetch and not has_map and not diag_rect:
         diag_ns = _diag_subtile_count(
             block_q, block_k, causal, window, seq_k, has_bias,
             prefer_ns=(4, 2),  # bwd: NS=4 measured best (see flash_fwd)
@@ -900,6 +1088,7 @@ def flash_attention_backward(
         has_bias=has_bias, has_map=has_map,
         has_fetch=has_fetch,
         diag_ns=diag_ns,
+        diag_rect=diag_rect,
     )
     dq_grid = (
         batch, num_heads, num_q_blocks,
@@ -967,6 +1156,7 @@ def flash_attention_backward(
         group=group if use_group_reduce else 1,
         nq_logical=width,
         diag_ns=diag_ns,
+        diag_rect=diag_rect,
     )
     dkv_grid = (batch, dkv_heads, num_k_blocks, dkv_inner)
 
