@@ -163,7 +163,8 @@ def main():
             r = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__),
                  "--case", c, "--iters", str(args.iters)],
-                capture_output=True, text=True, timeout=590,
+                capture_output=True, text=True,
+                timeout=float(os.environ.get("UMFA_AB_TIMEOUT_S", "590")),
             )
             line = [ln for ln in r.stdout.splitlines() if ln.startswith("#@")]
             if line:
