@@ -64,6 +64,10 @@ def _flash_fwd(config, q, k, v, bias, block_map, fetch_kv, fetch_q):
 def _flash_bwd(config, residuals, g):
     q, k, v, bias, block_map, fetch_kv, fetch_q, out, lse = residuals
     g_out, g_lse = g
+    # Kernels emit bf16 grads directly when the consumer would cast anyway
+    # (halves grad HBM writes + deletes the cast pass); fp32/fp16 keep the
+    # FP32 emission.
+    gdt = jnp.bfloat16 if q.dtype == jnp.bfloat16 else None
     dq, dk, dv = flash_attention_backward(
         q, k, v, out, lse, g_out, bias, g_lse, block_map, fetch_kv, fetch_q,
         causal=config.causal,
@@ -71,6 +75,7 @@ def _flash_bwd(config, residuals, g):
         scale=config.scale,
         block_sizes=config.block_sizes,
         interpret=config.interpret,
+        grad_dtype=gdt,
     )
     if bias is None:
         dbias = None

@@ -330,7 +330,7 @@ def _dq_kernel(
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
-        dq_ref[0, 0] = dq_scr[...]
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
@@ -621,8 +621,8 @@ def _dkv_kernel(
 
     @pl.when(inner == num_q_blocks - 1)
     def _finalize():
-        dk_ref[0, 0] = dk_scr[...]
-        dv_ref[0, 0] = dv_scr[...]
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 def _dbias_kernel(
@@ -818,7 +818,9 @@ def flash_attention_bias_grad(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "window", "scale", "block_sizes", "interpret"),
+    static_argnames=(
+        "causal", "window", "scale", "block_sizes", "interpret", "grad_dtype",
+    ),
 )
 def flash_attention_backward(
     q: jax.Array,
@@ -838,8 +840,14 @@ def flash_attention_backward(
     scale: Optional[float] = None,
     block_sizes: BlockSizes = BlockSizes(),
     interpret: bool = False,
+    grad_dtype=None,
 ):
-    """FA2 backward. Returns (dq, dk, dv) in FP32.
+    """FA2 backward. Returns (dq, dk, dv) in FP32 by default; grad_dtype
+    (e.g. bf16 when the training consumer casts anyway) makes the kernels
+    EMIT that dtype — halves the gradient HBM writes and deletes the
+    separate cast pass. Accumulation stays FP32 in VMEM either way
+    (reference invariant, metal_sdpa_backend.cpp:2800-2804: FP32
+    *accumulation*; the store rounding equals the consumer's cast).
 
     GQA (Hq > Hkv): dK/dV per-KV-head gradients are the sum over the query
     group — handled by summing the expanded-head gradients host-side here
@@ -1097,8 +1105,9 @@ def flash_attention_backward(
     dq_out_spec = pl.BlockSpec(
         (1, 1, block_q, head_dim), lambda b, h, i, j, *refs: (b, h, i, 0)
     )
+    gdt = jnp.dtype(grad_dtype) if grad_dtype is not None else jnp.float32
     dq_out_shape = jax.ShapeDtypeStruct(
-        (batch, num_heads, padded_sq, head_dim), jnp.float32
+        (batch, num_heads, padded_sq, head_dim), gdt
     )
     dq_scratch = [pltpu.VMEM((block_q, head_dim), jnp.float32)]
     dq_cparams = pltpu.CompilerParams(
@@ -1221,8 +1230,8 @@ def flash_attention_backward(
         ),
     ]
     dkv_out_shape = [
-        jax.ShapeDtypeStruct((batch, dkv_heads, padded_sk, head_dim), jnp.float32),
-        jax.ShapeDtypeStruct((batch, dkv_heads, padded_sk, head_dim), jnp.float32),
+        jax.ShapeDtypeStruct((batch, dkv_heads, padded_sk, head_dim), gdt),
+        jax.ShapeDtypeStruct((batch, dkv_heads, padded_sk, head_dim), gdt),
     ]
     dkv_scratch = [
         pltpu.VMEM((block_k, head_dim), jnp.float32),

@@ -1058,8 +1058,13 @@ def flash_attention_forward(
             dimension_semantics=semantics,
             # Persistent K/V caches + pipeline buffers can exceed the
             # default 16 MiB scoped-vmem budget; raise the cap (the gate on
-            # cache_bytes keeps actual usage well below this).
-            vmem_limit_bytes=64 * 1024 * 1024 if use_kv_cache else None,
+            # cache_bytes keeps actual usage well below this). The rect
+            # mode's STREAMING branch (nq == 1, no cache) needs it too at
+            # D=128: bq=2048 f32 temporaries measured 16.19M — 192K over
+            # the default (r4c Mosaic OOM at B1 H4 S2048 D128 bf16).
+            vmem_limit_bytes=(
+                64 * 1024 * 1024 if (use_kv_cache or diag_rect) else None
+            ),
         ),
         interpret=interpret,
         debug=debug,

@@ -884,11 +884,16 @@ def _qflash_bwd(key: _QAttnKey, residuals, g):
         corr = None
         if qm is not None:
             corr = _corr_from_quantized(qm, qt_k)
+        gdt = (
+            jnp.bfloat16
+            if jnp.dtype(qt_q.orig_dtype) == jnp.bfloat16 else None
+        )
         dq, dk, dv = quantized_attention_backward(
             qt_q, qt_k, qt_v, out, lse, g,
             qm, vm, corr, bias, g_lse, block_map, fetch_kv, fetch_q,
             causal=key.causal, window=key.window, scale=key.scale,
             block_sizes=key.block_sizes, interpret=key.interpret,
+            grad_dtype=gdt,
         )
     else:
         q_dq = dequantize(qt_q, jnp.float32)

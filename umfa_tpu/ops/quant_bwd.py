@@ -333,7 +333,7 @@ def _q_dq_kernel(
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
-        dq_ref[0, 0] = dq_scr[...]
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
 
 
 def _q_dkv_kernel(
@@ -582,8 +582,8 @@ def _q_dkv_kernel(
 
     @pl.when(inner == num_q_blocks - 1)
     def _finalize():
-        dk_ref[0, 0] = dk_scr[...]
-        dv_ref[0, 0] = dv_scr[...]
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 def quantized_attention_backward(
@@ -607,10 +607,13 @@ def quantized_attention_backward(
     scale: Optional[float] = None,
     block_sizes: BlockSizes = BlockSizes(),
     interpret: bool = False,
+    grad_dtype=None,
 ):
     """FA2 backward consuming quantized residuals in-kernel.
 
-    Returns (dq, dk, dv) FP32 — the same STE gradients the dense backward
+    Returns (dq, dk, dv) FP32 by default (grad_dtype, e.g. bf16, makes the
+    kernels emit that dtype directly — see flash_bwd) — the same STE
+    gradients the dense backward
     produces on the deterministically dequantized operands, without ever
     materializing those operands in HBM.
     `score_corr` is the Q-mean correction row in raw (unscaled) dot units,
@@ -1004,8 +1007,9 @@ def quantized_attention_backward(
     dq_out_spec = pl.BlockSpec(
         (1, 1, block_q, head_dim), lambda b, h, i, j, *refs: (b, h, i, 0)
     )
+    gdt = jnp.dtype(grad_dtype) if grad_dtype is not None else jnp.float32
     dq_out_shape = jax.ShapeDtypeStruct(
-        (batch, num_heads, padded_sq, head_dim), jnp.float32
+        (batch, num_heads, padded_sq, head_dim), gdt
     )
     dq_scratch = [
         pltpu.VMEM((block_q, head_dim), jnp.float32),
@@ -1095,8 +1099,8 @@ def quantized_attention_backward(
         ),
     ]
     dkv_out_shape = [
-        jax.ShapeDtypeStruct((batch, dkv_heads, padded_sk, head_dim), jnp.float32),
-        jax.ShapeDtypeStruct((batch, dkv_heads, padded_sk, head_dim), jnp.float32),
+        jax.ShapeDtypeStruct((batch, dkv_heads, padded_sk, head_dim), gdt),
+        jax.ShapeDtypeStruct((batch, dkv_heads, padded_sk, head_dim), gdt),
     ]
     dkv_scratch = [
         pltpu.VMEM((block_k, head_dim), jnp.float32),
