@@ -184,7 +184,11 @@ def _pallas_ring_harness(rng, *, causal, zigzag, n_dev=4, seq=256, grads=False):
             o = reference_attention(q, k, v, causal=causal)
             return jnp.sum(o * jnp.cos(o))
 
-        got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        # jit REQUIRED: unjitted grad dispatches the collective kernels
+        # op-by-op, and eager per-device dispatch interleaves two ring
+        # instances in inconsistent order across device threads —
+        # deadlocks (both the structural and the jnp backward; r4 repro).
+        got = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
         wantg = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
         for g, w, name in zip(got, wantg, "qkv"):
             np.testing.assert_allclose(
@@ -371,3 +375,59 @@ def test_pipeline_rejects_bad_microbatch():
     with pytest.raises(ValueError):
         pipeline_apply(_mlp_stage, params, jnp.zeros((6, 4)), mesh=mesh,
                        num_microbatches=4)
+
+
+def test_pallas_ring_grads_zigzag(rng):
+    """Structural reverse ring (VERDICT r3 #6) under the zigzag layout:
+    global-position masking in the bwd kernel's keep-mask."""
+    _pallas_ring_harness(rng, causal=True, zigzag=True, grads=True)
+
+
+def test_pallas_ring_bwd_matches_jnp_ring(rng, monkeypatch):
+    """The structural Pallas reverse ring and the jnp ppermute fallback
+    (UMFA_RING_BWD=jnp) compute the same gradients."""
+    from jax.sharding import Mesh
+    from jax import shard_map
+    from umfa_tpu.parallel.ring_pallas import ring_flash_attention_pallas
+
+    n_dev = 4
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("sp",))
+    q, k, v = make_qkv(rng, 1, 4, 256, 256, 64, kv_heads=2)
+
+    f = shard_map(
+        lambda q, k, v: ring_flash_attention_pallas(
+            q, k, v, axis_name="sp", causal=True, interpret=True
+        ),
+        mesh=mesh,
+        in_specs=(P(None, None, "sp", None),) * 3,
+        out_specs=P(None, None, "sp", None),
+        check_vma=False,
+    )
+
+    def loss(q, k, v):
+        return jnp.sum(f(q, k, v) ** 2)
+
+    # Fresh jax.jit per env setting: UMFA_RING_BWD is read at trace time.
+    g_pallas = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    monkeypatch.setenv("UMFA_RING_BWD", "jnp")
+    g_jnp = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip("qkv", g_pallas, g_jnp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5,
+            err_msg=f"d{name}",
+        )
+
+
+def test_pallas_ring_selfloop_bwd_mode(rng):
+    """Self-loop validation of the STRUCTURAL reverse ring (VERDICT r3 #6):
+    dual-buffer (KV + f32 dKV) RDMA, phase-split send-overlaps-dQ schedule,
+    capacity credits, RMW accumulation — interpret-checked here; the
+    tpu-marked twin Mosaic-compiles it on the real chip."""
+    from umfa_tpu.parallel.ring_pallas import ring_pallas_selfloop_bwd_check
+
+    assert ring_pallas_selfloop_bwd_check(
+        seq=512, n_steps=4, causal=True, interpret=True
+    ) < 2e-2
+    assert ring_pallas_selfloop_bwd_check(
+        seq=512, n_steps=3, causal=False, interpret=True
+    ) < 2e-2

@@ -78,3 +78,13 @@ def test_ring_rdma_selfloop_mosaic(rng):
 
     rel, _, _ = ring_pallas_selfloop_check(seq=1024, n_steps=4, causal=True)
     assert rel < 5e-3
+
+
+def test_ring_rdma_selfloop_bwd_mosaic(rng):
+    """Mosaic codegen of the structural reverse-ring protocol on one chip
+    (VERDICT r3 #6): dual-buffer RDMA (bf16 KV + f32 dKV), phase-split
+    sends, capacity credits, and both RMW accumulation paths compile and
+    run; (dq, dk, dv) parity vs the dense backward."""
+    from umfa_tpu.parallel.ring_pallas import ring_pallas_selfloop_bwd_check
+
+    assert ring_pallas_selfloop_bwd_check(seq=1024, n_steps=4, causal=True) < 2e-2
