@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 CASES = [
     "dense_fwd", "int8_fwd_infer", "int8_fwd_emit", "int8_fwd_nosmooth",
     "dense_bwd", "int8_bwd", "int8_bwd_deq",
-    "dense_step", "int8_step",
+    "dense_step", "int8_step", "int8_step_nosmooth",
 ]
 
 
@@ -147,6 +147,11 @@ def build(case):
     if case == "int8_step":
         return jax.jit(step(lambda q, k, v: quantized_flash_attention(
             q, k, v, config=cfg8))), (q, k, v)
+    if case == "int8_step_nosmooth":
+        from umfa_tpu.engine.config import QuantizationConfig as _QC
+
+        return jax.jit(step(lambda q, k, v: quantized_flash_attention(
+            q, k, v, config=_QC(smooth=False)))), (q, k, v)
     raise SystemExit(f"unknown case {case}")
 
 

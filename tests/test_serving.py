@@ -222,3 +222,36 @@ def test_decode_bias_cliff_guard(rng, monkeypatch):
         out_cs = decode_attention(q_new, cache, chunk_start=24, interpret=True)
     assert not any("intra-chunk bias" in str(x.message) for x in w3)
     np.testing.assert_allclose(np.asarray(out_cs), want, atol=1e-4, rtol=1e-4)
+
+
+def test_quantized_flash_decode_kernel(rng, monkeypatch):
+    """The OPT-IN Pallas flash-decode kernel (serving/decode_kernel.py —
+    the XLA gemv measured at the byte floor and stays default; r4 budget)
+    matches the gemv path exactly (same math, fp32 operands keep HIGHEST)
+    for tq=1 and tq=4, GQA, multi-tile S walk."""
+    from umfa_tpu.serving import decode as dec
+    from umfa_tpu.serving.kv_cache import append_quantized, init_quantized_cache
+
+    B, Hq, Hkv, S, D = 2, 4, 2, 1024, 64  # ns = 2 KV tiles at block 512
+    for tq in (1, 4):
+        cache = init_quantized_cache(B, Hkv, S, D)
+        L = 700
+        kf = jnp.asarray(
+            np.random.default_rng(0).normal(0, 1, (B, Hkv, L, D)), jnp.float32
+        )
+        vf = jnp.asarray(
+            np.random.default_rng(1).normal(0, 1, (B, Hkv, L, D)), jnp.float32
+        )
+        cache = append_quantized(cache, kf, vf)
+        q = jnp.asarray(
+            np.random.default_rng(2).normal(0, 1, (B, Hq, tq, D)), jnp.float32
+        )
+        monkeypatch.setenv("UMFA_ENABLE_DECODE_KERNEL", "1")
+        out = dec.decode_attention(q, cache, interpret=True)
+        monkeypatch.delenv("UMFA_ENABLE_DECODE_KERNEL")
+        want = dec.decode_attention(q, cache, interpret=True)
+        rel = float(
+            jnp.linalg.norm(out.astype(jnp.float32) - want.astype(jnp.float32))
+            / jnp.linalg.norm(want.astype(jnp.float32))
+        )
+        assert rel < 2e-5, (tq, rel)

@@ -11,6 +11,7 @@ quantized up to 1.3× faster in memory-bound workloads, README.md:70).
 
 from __future__ import annotations
 
+import os
 import warnings
 from typing import Optional, Union
 
@@ -151,10 +152,30 @@ def decode_attention(
         bias = jnp.broadcast_to(bias, (batch, 1, tq, cache.max_len))
 
     # Few-token decode: the fused kernel's q tiles are ≥128 rows, so Tq=1
-    # would burn 128× the q-side compute. A fused-by-XLA GEMV path reads the
-    # cache exactly once (decode is KV-bandwidth-bound — and the quantized
-    # cache reads 4× fewer bytes, dequantized on the fly in registers).
+    # would burn 128× the q-side compute. The XLA gemv is the DEFAULT for
+    # both cache kinds: measured at B8 H16/8 S4K D64 it already runs at the
+    # byte floor (int8 39.8 µs ≈ 35.5 MB / ~900 GB/s — r4 budget), so the
+    # Pallas flash-decode kernel (decode_kernel.py) stays OPT-IN
+    # (UMFA_ENABLE_DECODE_KERNEL=1): at D=64 its int8 tiles pad to the
+    # 128-lane register width and the DMA reads ~2× the bytes — measured
+    # 111.5 µs, a 2.8× LOSS. (Negative result kept: the kernel is the
+    # fallback story for layouts XLA mishandles, not this one.)
     if tq <= 16:
+        if (
+            isinstance(cache, QuantizedKVCache)
+            and cache.max_len % 512 == 0
+            and os.environ.get("UMFA_ENABLE_DECODE_KERNEL") == "1"
+        ):
+            from umfa_tpu.serving.decode_kernel import quantized_flash_decode
+
+            out = quantized_flash_decode(
+                q, cache.k_values, cache.k_scales,
+                cache.v_values, cache.v_scales, bias,
+                scale=scale,
+                block_k=min(2048, cache.max_len),
+                interpret=interpret,
+            )
+            return out.astype(q.dtype)
         return _gemv_decode(q, cache, bias, scale)
 
     if isinstance(cache, QuantizedKVCache):
