@@ -124,7 +124,10 @@ def decode_step(
         ap = layer["attn"]
         xn = _rms(x, layer["ln1"])
         chunk_start = cache.length
-        cache = append_latent(cache, mla_model.compress_kv(ap, xn))
+        # Uniform-position decode: in-place append (kv_cache._write_rows).
+        cache = append_latent(
+            cache, mla_model.compress_kv(ap, xn), pos=cache.length[0]
+        )
         q = jnp.einsum("bsd,de->bse", xn, ap["wq"]).reshape(
             b, tq, mcfg.num_heads, mcfg.head_dim).transpose(0, 2, 1, 3)
         att = mla_absorbed_decode(

@@ -161,10 +161,13 @@ def forward_with_cache(
     new_caches = []
     for block, cache in zip(params["blocks"], caches):
         q, k, v = _qkv(block, x, cfg, positions)
+        # Uniform-position decode (start is shared): the in-place append
+        # fast path — the ragged scatter measured 1.91 ms/step of a 3.14 ms
+        # step at B8 ctx4K depth8 (r4 serving bisect).
         if cfg.kv_cache == "int8":
-            cache = append_quantized(cache, k, v)
+            cache = append_quantized(cache, k, v, pos=start)
         else:
-            cache = append(cache, k, v)
+            cache = append(cache, k, v, pos=start)
         attn = decode_attention(
             q, cache, prefill=prefill, chunk_start=chunk_start,
             interpret=cfg.interpret,

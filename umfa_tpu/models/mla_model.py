@@ -102,7 +102,8 @@ def decode_step(params: dict, x: jax.Array, cache, cfg: MLAConfig):
 
     b, tq, dim = x.shape
     chunk_start = cache.length
-    cache = append_latent(cache, compress_kv(params, x))
+    # Uniform-position decode: in-place append (see kv_cache._write_rows).
+    cache = append_latent(cache, compress_kv(params, x), pos=cache.length[0])
     q = jnp.einsum("bsd,de->bse", x, params["wq"])
     q = q.reshape(b, tq, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     out = mla_absorbed_decode(

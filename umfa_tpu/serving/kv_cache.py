@@ -109,14 +109,32 @@ def _update_rows(buf, new, start):
     )
 
 
-def append(cache: KVCache, k_new: jax.Array, v_new: jax.Array) -> KVCache:
+def _write_rows(buf, new, length, pos):
+    """Write `new` (B, Hkv, T, ...) into buf (B, Hkv, S_max, ...) at each
+    sequence's current length. `pos` not None = UNIFORM positions (a traced
+    scalar): a single scalar-start dynamic_update_slice, which XLA updates
+    IN PLACE — the ragged vmap path lowers to a scatter that rewrites the
+    FULL cache every call (measured 1.91 ms/step of a 3.14 ms decode step
+    at B8 ctx4K depth8 — r4 serving bisect). Continuous batching keeps the
+    ragged path; uniform decode must pass pos."""
+    if pos is not None:
+        return jax.lax.dynamic_update_slice(
+            buf, new.astype(buf.dtype), (0, 0, pos) + (0,) * (buf.ndim - 3)
+        )
+    return jax.vmap(_update_rows)(buf, new, length)
+
+
+def append(
+    cache: KVCache, k_new: jax.Array, v_new: jax.Array, pos=None
+) -> KVCache:
     """Append T new tokens per sequence. k_new/v_new: (B, Hkv, T, D).
     Per-sequence fill positions come from cache.length (may differ across
     the batch — continuous batching appends at each sequence's own offset).
-    """
+    `pos` (a scalar) promises UNIFORM positions and takes the in-place
+    fast path (see _write_rows)."""
     t = k_new.shape[2]
-    k = jax.vmap(_update_rows)(cache.k, k_new, cache.length)
-    v = jax.vmap(_update_rows)(cache.v, v_new, cache.length)
+    k = _write_rows(cache.k, k_new, cache.length, pos)
+    v = _write_rows(cache.v, v_new, cache.length, pos)
     return KVCache(k=k, v=v, length=cache.length + t)
 
 
@@ -127,9 +145,19 @@ def init_latent_cache(batch, max_len, latent_dim, dtype=jnp.bfloat16):
     )
 
 
-def append_latent(cache: LatentKVCache, latent_new: jax.Array) -> LatentKVCache:
-    """Append T new latent rows per sequence. latent_new: (B, T, L)."""
+def append_latent(
+    cache: LatentKVCache, latent_new: jax.Array, pos=None
+) -> LatentKVCache:
+    """Append T new latent rows per sequence. latent_new: (B, T, L).
+    `pos` (a scalar) promises UNIFORM positions: single in-place
+    dynamic_update_slice instead of the ragged scatter (see _write_rows)."""
     t = latent_new.shape[1]
+
+    if pos is not None:
+        latent = jax.lax.dynamic_update_slice(
+            cache.latent, latent_new.astype(cache.latent.dtype), (0, pos, 0)
+        )
+        return LatentKVCache(latent=latent, length=cache.length + t)
 
     def upd(buf, new, start):
         return jax.lax.dynamic_update_slice(
@@ -151,16 +179,19 @@ def _rowwise_quant(x):
 
 
 def append_quantized(
-    cache: QuantizedKVCache, k_new: jax.Array, v_new: jax.Array
+    cache: QuantizedKVCache, k_new: jax.Array, v_new: jax.Array, pos=None
 ) -> QuantizedKVCache:
-    """Quantize new rows (row-wise symmetric INT8) and append."""
+    """Quantize new rows (row-wise symmetric INT8) and append. `pos` (a
+    scalar) promises UNIFORM positions and takes the in-place fast path
+    (see _write_rows)."""
     t = k_new.shape[2]
     kq, ks = _rowwise_quant(k_new)
     vq, vs = _rowwise_quant(v_new)
+    ln = cache.length
     return QuantizedKVCache(
-        k_values=jax.vmap(_update_rows)(cache.k_values, kq, cache.length),
-        k_scales=jax.vmap(_update_rows)(cache.k_scales, ks, cache.length),
-        v_values=jax.vmap(_update_rows)(cache.v_values, vq, cache.length),
-        v_scales=jax.vmap(_update_rows)(cache.v_scales, vs, cache.length),
-        length=cache.length + t,
+        k_values=_write_rows(cache.k_values, kq, ln, pos),
+        k_scales=_write_rows(cache.k_scales, ks, ln, pos),
+        v_values=_write_rows(cache.v_values, vq, ln, pos),
+        v_scales=_write_rows(cache.v_scales, vs, ln, pos),
+        length=ln + t,
     )
