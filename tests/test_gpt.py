@@ -93,3 +93,31 @@ def test_generate_int8_kv_cache(rng):
     outd = gpt.generate(params, prompt, steps=6, cfg=cfg_d)
     assert out8.shape == (2, 16)
     assert float((out8 == outd).mean()) > 0.9
+
+
+def test_ragged_decode_matches_per_sequence(rng):
+    # uniform_pos=False: ragged cache lengths route through the vmap scatter
+    # and per-(B,T) RoPE positions; each batch row must match the
+    # single-sequence decode at that row's own fill length.
+    params = _params()
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab, (2, 20)))
+    lens = [20, 12]
+
+    caches = gpt.init_caches(CFG, 2)
+    _, caches = gpt.forward_with_cache(params, tokens, caches, CFG)
+    for c in caches:
+        c.length = c.length.at[1].set(lens[1])
+    new_tok = jnp.asarray(rng.integers(0, CFG.vocab, (2, 1)))
+    step_logits, _ = gpt.forward_with_cache(
+        params, new_tok, caches, CFG, uniform_pos=False
+    )
+    for b, ln in enumerate(lens):
+        c1 = gpt.init_caches(CFG, 1)
+        _, c1 = gpt.forward_with_cache(
+            params, tokens[b : b + 1, :ln], c1, CFG
+        )
+        want, _ = gpt.forward_with_cache(params, new_tok[b : b + 1], c1, CFG)
+        np.testing.assert_allclose(
+            np.asarray(step_logits[b : b + 1]), np.asarray(want),
+            atol=2e-3, rtol=2e-3, err_msg=f"row {b}",
+        )

@@ -111,11 +111,18 @@ def init_caches(cfg: DeepSeekConfig, batch: int, max_len: int):
 
 
 def decode_step(
-    params: dict, tokens: jax.Array, caches, cfg: DeepSeekConfig
+    params: dict, tokens: jax.Array, caches, cfg: DeepSeekConfig,
+    uniform_pos: bool = True,
 ) -> Tuple[jax.Array, list]:
     """tokens: (B, Tq) → (logits for the LAST position (B, vocab),
     updated caches). Attention decode is absorbed latent-space
-    (mla_absorbed_decode); the FFN is the same MoE as training."""
+    (mla_absorbed_decode); the FFN is the same MoE as training.
+
+    `uniform_pos=True` (default) PROMISES uniform cache fill lengths across
+    the batch and takes the in-place append fast path; continuous-batching
+    callers with ragged cache.length MUST pass uniform_pos=False (the ragged
+    scatter path). UMFA_DEBUG=1 NaN-poisons a broken promise
+    (kv_cache._write_rows)."""
     b, tq = tokens.shape
     x = params["embed"][tokens]
     mcfg = cfg.mla()
@@ -124,9 +131,9 @@ def decode_step(
         ap = layer["attn"]
         xn = _rms(x, layer["ln1"])
         chunk_start = cache.length
-        # Uniform-position decode: in-place append (kv_cache._write_rows).
         cache = append_latent(
-            cache, mla_model.compress_kv(ap, xn), pos=cache.length[0]
+            cache, mla_model.compress_kv(ap, xn),
+            pos=cache.length[0] if uniform_pos else None,
         )
         q = jnp.einsum("bsd,de->bse", xn, ap["wq"]).reshape(
             b, tq, mcfg.num_heads, mcfg.head_dim).transpose(0, 2, 1, 3)

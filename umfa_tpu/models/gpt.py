@@ -82,10 +82,14 @@ def _ln(x, eps=1e-6):
 
 
 def _rope_tables(positions, head_dim, base):
+    """positions (T,) → tables (T, D/2); positions (B, T) (ragged decode) →
+    tables (B, 1, T, D/2) broadcasting over heads in apply_rope."""
     inv_freq = 1.0 / (
         base ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
     )
-    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    if freqs.ndim == 3:
+        freqs = freqs[:, None]
     return jnp.cos(freqs), jnp.sin(freqs)
 
 
@@ -147,27 +151,36 @@ def forward_with_cache(
     cfg: GPTConfig,
     prefill: bool = False,
     chunk_start=None,
+    uniform_pos: bool = True,
 ) -> Tuple[jax.Array, list]:
     """Incremental forward: append `tokens` (B, T) at each sequence's current
     cache position; returns (logits (B, T, vocab), new caches).
 
     `prefill=True` (static): the caches were empty before this call — the
     attention routes to the plain causal kernel with no materialized
-    intra-chunk bias (see serving.decode.decode_attention)."""
+    intra-chunk bias (see serving.decode.decode_attention).
+
+    `uniform_pos=True` (default) PROMISES uniform cache fill lengths across
+    the batch: the append takes the in-place fast path (the ragged scatter
+    measured 1.91 ms/step of a 3.14 ms step at B8 ctx4K depth8 — r4 serving
+    bisect) and RoPE positions derive from sequence 0's length. Ragged
+    continuous-batching callers MUST pass uniform_pos=False; UMFA_DEBUG=1
+    NaN-poisons a broken promise (kv_cache._write_rows)."""
     b, t = tokens.shape
     x = params["embed"][tokens]
-    start = caches[0].length[0]  # uniform-position decode
-    positions = start + jnp.arange(t)
+    start = caches[0].length[0]
+    if uniform_pos:
+        positions = start + jnp.arange(t)           # (T,) shared
+    else:
+        positions = caches[0].length[:, None] + jnp.arange(t)  # (B, T)
+    pos_arg = start if uniform_pos else None
     new_caches = []
     for block, cache in zip(params["blocks"], caches):
         q, k, v = _qkv(block, x, cfg, positions)
-        # Uniform-position decode (start is shared): the in-place append
-        # fast path — the ragged scatter measured 1.91 ms/step of a 3.14 ms
-        # step at B8 ctx4K depth8 (r4 serving bisect).
         if cfg.kv_cache == "int8":
-            cache = append_quantized(cache, k, v, pos=start)
+            cache = append_quantized(cache, k, v, pos=pos_arg)
         else:
-            cache = append(cache, k, v, pos=start)
+            cache = append(cache, k, v, pos=pos_arg)
         attn = decode_attention(
             q, cache, prefill=prefill, chunk_start=chunk_start,
             interpret=cfg.interpret,

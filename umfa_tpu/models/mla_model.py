@@ -92,18 +92,30 @@ def forward(params: dict, x: jax.Array, cfg: MLAConfig):
     return x + attend(params, x, latent, cfg)
 
 
-def decode_step(params: dict, x: jax.Array, cache, cfg: MLAConfig):
+def decode_step(
+    params: dict, x: jax.Array, cache, cfg: MLAConfig,
+    uniform_pos: bool = True,
+):
     """Serving decode step over a LatentKVCache: compress the new tokens'
     latent, append, then attend against the latent cache via weight
     absorption (`mla_absorbed_decode`) — the cache read per step is
-    B·S·L bytes, not 2·B·H·S·D. x: (B, Tq, dim). Returns (y, cache')."""
+    B·S·L bytes, not 2·B·H·S·D. x: (B, Tq, dim). Returns (y, cache').
+
+    `uniform_pos=True` (default) PROMISES every sequence in the batch is at
+    the same fill length and takes the in-place append fast path (the ragged
+    scatter rewrites the full cache: 1.91 of 3.14 ms/step, r4 bisect). A
+    continuous-batching caller with ragged cache.length MUST pass
+    uniform_pos=False; under UMFA_DEBUG=1 a broken promise NaN-poisons the
+    written rows (kv_cache._write_rows)."""
     from umfa_tpu.ops.mla import mla_absorbed_decode
     from umfa_tpu.serving.kv_cache import append_latent
 
     b, tq, dim = x.shape
     chunk_start = cache.length
-    # Uniform-position decode: in-place append (see kv_cache._write_rows).
-    cache = append_latent(cache, compress_kv(params, x), pos=cache.length[0])
+    cache = append_latent(
+        cache, compress_kv(params, x),
+        pos=cache.length[0] if uniform_pos else None,
+    )
     q = jnp.einsum("bsd,de->bse", x, params["wq"])
     q = q.reshape(b, tq, cfg.num_heads, cfg.head_dim).transpose(0, 2, 1, 3)
     out = mla_absorbed_decode(

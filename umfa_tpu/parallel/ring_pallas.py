@@ -72,8 +72,27 @@ _collective_counter = [0, 0]
 
 def _next_collective_id(is_bwd: bool) -> int:
     base = _COLLECTIVE_BASE_BWD if is_bwd else _COLLECTIVE_BASE_FWD
-    slot = _collective_counter[int(is_bwd)] % _N_COLLECTIVE_SLOTS
+    count = _collective_counter[int(is_bwd)]
+    slot = count % _N_COLLECTIVE_SLOTS
     _collective_counter[int(is_bwd)] += 1
+    if count and slot == 0:
+        # More than _N_COLLECTIVE_SLOTS ring instances traced: ids now
+        # repeat. Two instances sharing an id in ONE live program is the
+        # exact deadlock mode documented above; it is benign only when the
+        # program barriers between them (e.g. sequential layers separated
+        # by a psum). Warn rather than fail — the counter is process-global
+        # and also advances across independent jit programs, which never
+        # conflict.
+        import warnings
+
+        warnings.warn(
+            f"ring attention collective-id counter wrapped (>"
+            f"{_N_COLLECTIVE_SLOTS} {'backward' if is_bwd else 'forward'} "
+            "instances traced in this process): if a single jit program "
+            "holds more than 8 concurrent ring instances, shared ids can "
+            "deadlock the RDMA protocol.",
+            stacklevel=3,
+        )
     return base + 2 * slot
 
 

@@ -161,9 +161,16 @@ def decode_attention(
     # 111.5 µs, a 2.8× LOSS. (Negative result kept: the kernel is the
     # fallback story for layouts XLA mishandles, not this one.)
     if tq <= 16:
+        # block_k must DIVIDE max_len (the kernel reshapes the cache into
+        # whole tiles): take the largest power-of-two divisor <= 2048.
+        # Gating on `max_len % 512 == 0` alone let max_len 2560/3072/5120
+        # through with block_k=2048 and crashed at trace time (ADVICE r4).
+        bk = 2048
+        while bk >= 512 and cache.max_len % bk:
+            bk //= 2
         if (
             isinstance(cache, QuantizedKVCache)
-            and cache.max_len % 512 == 0
+            and cache.max_len % bk == 0
             and os.environ.get("UMFA_ENABLE_DECODE_KERNEL") == "1"
         ):
             from umfa_tpu.serving.decode_kernel import quantized_flash_decode
@@ -172,7 +179,7 @@ def decode_attention(
                 q, cache.k_values, cache.k_scales,
                 cache.v_values, cache.v_scales, bias,
                 scale=scale,
-                block_k=min(2048, cache.max_len),
+                block_k=min(bk, cache.max_len),
                 interpret=interpret,
             )
             return out.astype(q.dtype)

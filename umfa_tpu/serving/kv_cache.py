@@ -11,6 +11,7 @@ PAPERS.md).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -116,8 +117,19 @@ def _write_rows(buf, new, length, pos):
     IN PLACE — the ragged vmap path lowers to a scatter that rewrites the
     FULL cache every call (measured 1.91 ms/step of a 3.14 ms decode step
     at B8 ctx4K depth8 — r4 serving bisect). Continuous batching keeps the
-    ragged path; uniform decode must pass pos."""
+    ragged path; uniform decode must pass pos.
+
+    Passing `pos` with RAGGED lengths writes every sequence's rows at `pos`
+    and silently corrupts the cache. Under UMFA_DEBUG=1, float buffers are
+    NaN-poisoned when the promise is broken so the corruption is loud
+    (api.py's NaN machinery and any loss will catch it)."""
     if pos is not None:
+        if (
+            os.environ.get("UMFA_DEBUG") == "1"
+            and jnp.issubdtype(buf.dtype, jnp.floating)
+        ):
+            uniform = jnp.all(length == length[0])
+            new = jnp.where(uniform, new, jnp.nan)
         return jax.lax.dynamic_update_slice(
             buf, new.astype(buf.dtype), (0, 0, pos) + (0,) * (buf.ndim - 3)
         )
@@ -150,10 +162,14 @@ def append_latent(
 ) -> LatentKVCache:
     """Append T new latent rows per sequence. latent_new: (B, T, L).
     `pos` (a scalar) promises UNIFORM positions: single in-place
-    dynamic_update_slice instead of the ragged scatter (see _write_rows)."""
+    dynamic_update_slice instead of the ragged scatter (see _write_rows;
+    same UMFA_DEBUG=1 NaN-poison on a broken uniformity promise)."""
     t = latent_new.shape[1]
 
     if pos is not None:
+        if os.environ.get("UMFA_DEBUG") == "1":
+            uniform = jnp.all(cache.length == cache.length[0])
+            latent_new = jnp.where(uniform, latent_new, jnp.nan)
         latent = jax.lax.dynamic_update_slice(
             cache.latent, latent_new.astype(cache.latent.dtype), (0, pos, 0)
         )
