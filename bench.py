@@ -24,14 +24,20 @@ fresh `--time NAME` subprocess; a persistent JAX compilation cache
 (.jax_cache/) keeps the per-process Mosaic recompile cost near zero after
 the first run.
 
-Stages (each `python bench.py --stage NAME --out FILE`):
-  probe    backend init only
-  core     bf16 XLA SDPA / fused / int8 / int4 at S=4K + accuracy
-  train    dense vs int8 vs int4 training step (fwd+bwd)
-  flux     D=128 FLUX-geometry profile
-  masks    causal / sliding-window / block-sparse doc mask
-  serving  model-level GPT decode tokens/s, dense vs int8 KV cache
-  mla      absorbed latent-cache decode vs dense-cache decode
+Round-5 restructure (VERDICT r4 next-step #1: three driver runs in a row
+died with every non-core extra null): the stage layer is GONE from the
+orchestrator. It now runs a FLAT priority-ordered queue of per-timing
+subprocess jobs and re-emits the headline line — carrying every number
+measured so far — after EVERY SINGLE TIMING, so a kill at any point
+loses at most the one in-flight timing. Priority = never-driver-captured
+claims first (serving, mla, masks, train before the r4-captured int4/pv
+re-confirmations), accuracy sweeps after the timings (their values were
+captured in r4 artifacts; ms claims were not). masks_dense is deduped
+onto core_fused (identical fn, shape, and inputs).
+
+CLI (subprocess entrypoints):
+  --time NAME   one timing in a fresh process (TIMINGS registry)
+  --stage NAME  probe | acc_core | acc_mla (accuracy/parity, no timings)
 """
 
 import argparse
@@ -48,24 +54,36 @@ sys.path.insert(0, REPO)
 HEADLINE_METRIC = "int8_fused_attn_speedup_vs_bf16_xla_sdpa_seq4k"
 BASELINE_X = 1.3  # BASELINE.json target
 
-# Stage order = priority order: core carries the headline, then the claim
-# sets that have never been driver-verified (masks/serving/mla timed out in
-# r2 AND r3 — VERDICT r3 weak #2) BEFORE the train/flux re-confirmations.
-# If the global deadline runs out, later stages are skipped — but the
-# headline (with every extra measured so far) is re-emitted after EVERY
-# stage, so a mid-run kill still leaves a complete-so-far artifact.
-STAGES = ["core", "masks", "serving", "mla", "train", "flux"]
-STAGE_TIMEOUT_S = {
-    # Worst case ~1-4 min Mosaic compile per new kernel shape per timing
-    # subprocess on a COLD .jax_cache; warm-cache stages run in ~2 min
-    # (healthy relay: ~25 s per timing subprocess, measured r4).
-    "core": 2400,
-    "masks": 2000,
-    "serving": 1200,
-    "mla": 900,
-    "train": 1500,
-    "flux": 1000,
-}
+# Flat priority-ordered job queue. ("time", NAME) = one fresh-process
+# timing; ("acc", STAGE) = an accuracy/parity stage (no timings inside).
+# Order: headline trio first, then the claim sets that have NEVER been
+# driver-captured (serving / mla / masks / train / flux — null through
+# BENCH_r02..r04), then accuracy, then the r4-captured known-slow
+# variants (int4 2.42 ms, pv_int8 4.35 ms) last. The headline line is
+# re-emitted after EVERY job with everything measured so far.
+JOBS = [
+    ("time", "core_sdpa"),
+    ("time", "core_int8"),       # headline exists after this job
+    ("time", "core_fused"),
+    ("time", "core_int8qd"),     # dense-Q serving config (KV int8, Q bf16)
+    ("time", "serving_dtype"),
+    ("time", "serving_int8"),
+    ("time", "mla_absorbed"),
+    ("time", "mla_dense"),
+    ("time", "masks_causal"),
+    ("time", "masks_window"),
+    ("time", "masks_sparse"),
+    ("time", "train_dense"),
+    ("time", "train_int8"),
+    ("time", "train_int4"),
+    ("time", "flux_bf16"),
+    ("time", "flux_int8"),
+    ("acc", "acc_core"),
+    ("time", "core_int4"),
+    ("time", "core_int8pv"),
+    ("acc", "acc_mla"),
+]
+ACC_TIMEOUT_S = 590
 PROBE_TIMEOUT_S = 300
 PROBE_ATTEMPTS = 2
 TIME_TIMEOUT_S = 590
@@ -140,9 +158,10 @@ def _emit_headline(value, extra=None, error=None):
 
 def orchestrate():
     force_cpu = os.environ.get("UMFA_BENCH_FORCE_CPU") == "1"
-    # Default 3300 s: strictly inside the driver's observed ~3600 s kill
-    # window (r3: rc=124), so the in-bench skip logic fires first and the
-    # final full-extras headline still reaches stdout.
+    # Default 3300 s: strictly inside the driver's observed kill window, so
+    # the in-bench skip logic fires first. But because the headline is
+    # re-emitted after EVERY job, even an external kill (rc=124) leaves the
+    # newest complete-so-far line as the last parseable JSON on stdout.
     deadline = time.time() + float(os.environ.get("UMFA_BENCH_DEADLINE_S", "3300"))
 
     # --- probe: bounded-timeout backend init with retry --------------------
@@ -164,69 +183,96 @@ def orchestrate():
         _emit_headline(None, error="tpu_unavailable")
         return
 
-    # --- stages -------------------------------------------------------------
-    def _headline_from(results):
-        """Emit the headline with everything measured SO FAR. Called after
-        every stage so a mid-run kill (driver timeout, relay outage) still
-        leaves the newest complete-so-far line as the last parseable JSON."""
-        core = results.get("core", {})
-        if "error" in core or "bf16_xla_sdpa" not in core:
-            _emit_headline(
-                None, error=f"core_stage_failed: {core.get('error')}",
-                extra=_extras(results),
-            )
-            return
-        sp = core["bf16_xla_sdpa"]["ms"] / core["int8_fused"]["ms"]
-        _emit_headline(sp, extra=_extras(results))
+    # --- flat job queue -----------------------------------------------------
+    results = {"backend": backend, "times": {}, "acc": {}}
 
-    results = {"backend": backend}
-    for stage in STAGES:
+    def _headline_from():
+        t = results["times"]
+        sdpa, int8 = t.get("core_sdpa"), t.get("core_int8")
+        if sdpa and int8:
+            _emit_headline(sdpa / int8, extra=_extras(results))
+        else:
+            _emit_headline(None, error="headline_pending", extra=_extras(results))
+
+    for kind, name in JOBS:
         remaining = deadline - time.time()
-        if remaining < 120:
-            results[stage] = {"error": "skipped_deadline"}
-            _note(f"stage {stage}: skipped (deadline)")
+        if remaining < 90:
+            _note(f"job {name}: skipped (deadline)")
             continue
-        timeout_s = min(STAGE_TIMEOUT_S[stage], int(remaining))
-        res, err = _run_stage(stage, timeout_s, force_cpu)
-        results[stage] = res if res is not None else {"error": err}
-        _headline_from(results)
+        t0 = time.time()
+        if kind == "time":
+            try:
+                results["times"][name] = _timed(
+                    name, force_cpu, timeout_s=min(TIME_TIMEOUT_S, remaining)
+                )
+            except RuntimeError as e:  # noqa: BLE001
+                _note(f"job {name}: FAILED ({e})")
+                results["times"][name] = None
+        else:
+            res, err = _run_stage(
+                name, min(ACC_TIMEOUT_S, int(remaining)), force_cpu
+            )
+            results["acc"][name] = res if res is not None else {"error": err}
+        _note(f"job {name}: done in {time.time() - t0:.0f}s")
+        _headline_from()
 
     _shield(json.dumps(results, indent=2))
-    _headline_from(results)
+    _headline_from()
 
 
 def _extras(results):
-    """Flatten the full round claim set into the headline line."""
+    """Flatten the full round claim set into the headline line (flat
+    times/acc layout). Derived ratios appear as soon as both legs exist."""
+    t = results.get("times", {})
+    acc = results.get("acc", {})
 
-    def g(*path, default=None):
-        cur = results
+    def ms(name):
+        s = t.get(name)
+        return round(s * 1e3, 4) if s else None
+
+    def ratio(num, den):
+        a, b = t.get(num), t.get(den)
+        return round(a / b, 4) if a and b else None
+
+    def g(stage, *path):
+        cur = acc.get(stage, {})
         for p in path:
             if not isinstance(cur, dict) or p not in cur:
-                return default
+                return None
             cur = cur[p]
         return round(cur, 4) if isinstance(cur, float) else cur
 
     return {
-        "bf16_sdpa_ms": g("core", "bf16_xla_sdpa", "ms"),
-        "bf16_fused_ms": g("core", "bf16_fused", "ms"),
-        "int8_ms": g("core", "int8_fused", "ms"),
-        "int8_relerr": g("core", "int8_fused", "relerr_iid"),
-        "int8_pv_ms": g("core", "int8_pv_fused", "ms"),
-        "int8_pv_relerr": g("core", "int8_pv_fused", "relerr_iid"),
-        "int4_ms": g("core", "int4_fused", "ms"),
-        "int4_relerr_iid": g("core", "int4_fused", "relerr_iid"),
-        "int4_relerr_struct": g("core", "int4_fused", "relerr_struct"),
-        "causal_ms": g("masks", "causal", "ms"),
-        "window_ms": g("masks", "window", "ms"),
-        "sparse_speedup": g("masks", "doc_mask", "speedup_vs_dense"),
-        "train_dense_ms": g("train", "dense", "ms"),
-        "train_int8_ms": g("train", "int8", "ms"),
-        "train_int4_ms": g("train", "int4", "ms"),
-        "flux_bf16_ms": g("flux", "bf16_fused", "ms"),
-        "flux_int8_ms": g("flux", "int8_fused", "ms"),
-        "serving_int8_speedup": g("serving", "int8", "speedup_vs_dense_cache"),
-        "mla_latent_decode_speedup": g("mla", "speedup"),
-        "mla_absorbed_step_ms": g("mla", "absorbed_step_ms"),
+        "bf16_sdpa_ms": ms("core_sdpa"),
+        "bf16_fused_ms": ms("core_fused"),
+        "int8_ms": ms("core_int8"),
+        "int8_relerr": g("acc_core", "int8_relerr_iid"),
+        "int8_qdense_ms": ms("core_int8qd"),
+        "int8_qdense_relerr": g("acc_core", "int8qd_relerr_iid"),
+        "int8_pv_ms": ms("core_int8pv"),
+        "int8_pv_relerr": g("acc_core", "int8pv_relerr_iid"),
+        "int4_ms": ms("core_int4"),
+        "int4_relerr_iid": g("acc_core", "int4_relerr_iid"),
+        "int4_relerr_struct": g("acc_core", "int4_relerr_struct"),
+        "causal_ms": ms("masks_causal"),
+        "window_ms": ms("masks_window"),
+        "sparse_ms": ms("masks_sparse"),
+        # dense baseline for the mask speedups = core_fused (identical fn,
+        # shape, and inputs — masks_dense was a duplicate timing slot).
+        "sparse_speedup": ratio("core_fused", "masks_sparse"),
+        "window_speedup": ratio("core_fused", "masks_window"),
+        "train_dense_ms": ms("train_dense"),
+        "train_int8_ms": ms("train_int8"),
+        "train_int4_ms": ms("train_int4"),
+        "train_int8_speedup": ratio("train_dense", "train_int8"),
+        "flux_bf16_ms": ms("flux_bf16"),
+        "flux_int8_ms": ms("flux_int8"),
+        "serving_dense_step_ms": ms("serving_dtype"),
+        "serving_int8_step_ms": ms("serving_int8"),
+        "serving_int8_speedup": ratio("serving_dtype", "serving_int8"),
+        "mla_latent_decode_speedup": ratio("mla_dense", "mla_absorbed"),
+        "mla_absorbed_step_ms": ms("mla_absorbed"),
+        "mla_parity_relerr": g("acc_mla", "parity_relerr"),
     }
 
 
@@ -235,11 +281,12 @@ def _extras(results):
 # --------------------------------------------------------------------------
 
 
-def _timed(name, cpu):
+def _timed(name, cpu, timeout_s=None):
     """Per-iteration seconds for TIMINGS[name], measured in a FRESH process
     (one timing per process — same-process history contaminates readings by
     up to ~28%, see module docstring). CPU mode (tests/smoke) runs
     in-process: those numbers are never artifacts."""
+    timeout_s = timeout_s or TIME_TIMEOUT_S
     if cpu or os.environ.get("UMFA_BENCH_INPROC") == "1":
         return _run_timing(name, cpu)
     with tempfile.NamedTemporaryFile(
@@ -250,13 +297,13 @@ def _timed(name, cpu):
            "--time", name, "--out", out_path]
     _note(f"timing {name}: fresh process")
     try:
-        proc = subprocess.run(cmd, timeout=TIME_TIMEOUT_S, stdout=sys.stderr)
+        proc = subprocess.run(cmd, timeout=timeout_s, stdout=sys.stderr)
         if proc.returncode != 0:
             raise RuntimeError(f"timing {name} failed: rc={proc.returncode}")
         with open(out_path) as f:
             return json.load(f)["s"]
     except subprocess.TimeoutExpired:
-        raise RuntimeError(f"timing {name} timed out ({TIME_TIMEOUT_S}s)")
+        raise RuntimeError(f"timing {name} timed out ({timeout_s}s)")
     finally:
         try:
             os.unlink(out_path)
@@ -332,11 +379,14 @@ def _core_setup(cpu):
 
     cfg4 = QuantizationConfig.from_mode_string("int4")
     cfg8pv = dataclasses.replace(qcfg(Precision.INT8), pv_int8=True)
+    cfg8qd = QuantizationConfig.from_mode_string("int8-qdense")
     fns = {
         "sdpa": xla_sdpa,
         "fused": jax.jit(lambda q, k, v: flash_attention(q, k, v)),
         "int8": jax.jit(lambda q, k, v: quantized_flash_attention(
             q, k, v, config=qcfg(Precision.INT8))),
+        "int8qd": jax.jit(lambda q, k, v: quantized_flash_attention(
+            q, k, v, config=cfg8qd)),
         "int4": jax.jit(lambda q, k, v: quantized_flash_attention(
             q, k, v, config=cfg4)),
         "int8pv": jax.jit(lambda q, k, v: quantized_flash_attention(
@@ -627,6 +677,7 @@ TIMINGS = {
     "core_sdpa": _t_core("sdpa"),
     "core_fused": _t_core("fused"),
     "core_int8": _t_core("int8"),
+    "core_int8qd": _t_core("int8qd"),
     "core_int4": _t_core("int4"),
     "core_int8pv": _t_core("int8pv"),
     "train_dense": _t_train("dense"),
@@ -655,7 +706,10 @@ def stage_probe(cpu):
     return {"backend": jax.default_backend(), "n_devices": len(jax.devices())}
 
 
-def stage_core(cpu):
+def stage_acc_core(cpu):
+    """Accuracy sweep at the core S=4K geometry — NO timings (those are
+    orchestrated as per-job fresh processes). Same-process accuracy calls
+    are fine: relerr does not care about warm-cache contamination."""
     s = _core_setup(cpu)
     import jax.numpy as jnp
     import numpy as np
@@ -666,16 +720,8 @@ def stage_core(cpu):
 
     B, H, S, D = s["shape"]
     q, k, v = s["q"], s["k"], s["v"]
-    flops = 4 * B * H * S * S * D  # fwd, non-causal
 
-    _note("core: timing bf16 XLA SDPA / fused / int8 / int4 / int8pv")
-    t_sdpa = _timed("core_sdpa", cpu)
-    t_fused = _timed("core_fused", cpu)
-    t_int8 = _timed("core_int8", cpu)
-    t_int4 = _timed("core_int4", cpu)
-    t_int8pv = _timed("core_int8pv", cpu)
-
-    # Accuracy vs FP32 reference on the same inputs (in-process: not timing).
+    _note("acc_core: relerr vs fp32 reference (int8 / int8pv / int4 / fused)")
     want = np.asarray(
         reference_attention(
             q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
@@ -688,6 +734,7 @@ def stage_core(cpu):
 
     fns = s["fns"]
     err8 = relerr(fns["int8"](q, k, v), want)
+    err8qd = relerr(fns["int8qd"](q, k, v), want)
     err8pv = relerr(fns["int8pv"](q, k, v), want)
     err4 = relerr(fns["int4"](q, k, v), want)
     errb = relerr(fns["fused"](q, k, v), want)
@@ -727,25 +774,15 @@ def stage_core(cpu):
     rng = np.random.default_rng(0)
     uni = jnp.asarray(rng.uniform(-1, 1, (1, 1, 1024, 64)), jnp.float32)
 
-    def tf(t):
-        return flops / t / 1e12
-
     return {
         "shape": [B, H, S, D],
-        "bf16_xla_sdpa": {"ms": t_sdpa * 1e3, "tflops": tf(t_sdpa)},
-        "bf16_fused": {"ms": t_fused * 1e3, "tflops": tf(t_fused), "relerr": errb},
-        "int8_fused": {
-            "ms": t_int8 * 1e3, "tflops": tf(t_int8),
-            "relerr_iid": err8, "relerr_struct": err8_s,
-        },
-        "int8_pv_fused": {
-            "ms": t_int8pv * 1e3, "tflops": tf(t_int8pv),
-            "relerr_iid": err8pv,
-        },
-        "int4_fused": {
-            "ms": t_int4 * 1e3, "tflops": tf(t_int4),
-            "relerr_iid": err4, "relerr_struct": err4_s,
-        },
+        "fused_relerr": errb,
+        "int8_relerr_iid": err8,
+        "int8_relerr_struct": err8_s,
+        "int8qd_relerr_iid": err8qd,
+        "int8pv_relerr_iid": err8pv,
+        "int4_relerr_iid": err4,
+        "int4_relerr_struct": err4_s,
         "quantizer_roundtrip_relerr": {
             "int8": roundtrip_relerr(uni, Precision.INT8),
             "int4": roundtrip_relerr(uni, Precision.INT4),
@@ -753,102 +790,11 @@ def stage_core(cpu):
     }
 
 
-def stage_train(cpu):
-    s = _train_setup(cpu)
-    from umfa_tpu.utils.timing import attention_flops
-
-    B, H, S, D = s["shape"]
-    flops = attention_flops(B, H, S, S, D, backward=True)
-    out = {}
-    for name in ("dense", "int8", "int4"):
-        _note(f"train: timing {name} step")
-        t = _timed(f"train_{name}", cpu)
-        out[name] = {"ms": t * 1e3, "tflops": flops / t / 1e12}
-    out["int8"]["speedup_vs_dense"] = out["dense"]["ms"] / out["int8"]["ms"]
-    qkv = 3 * B * H * S * D
-    out["residual_bytes_ratio"] = {
-        "int8": (qkv + 3 * B * H * S * 4) / (qkv * 2),
-        "int4": (qkv // 2 + 3 * B * H * S * 4) / (qkv * 2),
-    }
-    return out
-
-
-def stage_flux(cpu):
-    s = _flux_setup(cpu)
-    B, H, S, D = s["shape"]
-    flops = 4 * B * H * S * S * D
-    _note("flux: timing bf16 + int8 fused (D=128)")
-    t_f = _timed("flux_bf16", cpu)
-    t_8 = _timed("flux_int8", cpu)
-    return {
-        "shape": [B, H, S, D],
-        "bf16_fused": {"ms": t_f * 1e3, "tflops": flops / t_f / 1e12},
-        "int8_fused": {
-            "ms": t_8 * 1e3, "tflops": flops / t_8 / 1e12,
-            "speedup_vs_bf16_fused": t_f / t_8,
-        },
-    }
-
-
-def stage_masks(cpu):
-    s = _masks_setup(cpu)
-    B, H, S, D = s["shape"]
-    _note("masks: timing dense / causal / window / sparse")
-    t_d = _timed("masks_dense", cpu)
-    t_c = _timed("masks_causal", cpu)
-    t_w = _timed("masks_window", cpu)
-    t_s = _timed("masks_sparse", cpu)
-
-    flops = 4 * B * H * S * S * D
-    return {
-        "shape": [B, H, S, D],
-        "dense": {"ms": t_d * 1e3},
-        "causal": {
-            "ms": t_c * 1e3,
-            # visible-element TFLOP/s and fraction of dense per-tile rate
-            "tflops_visible": flops / 2 / t_c / 1e12,
-            "per_tile_efficiency_vs_dense": (t_d / 2) / t_c,
-        },
-        "window": {"ms": t_w * 1e3, "window": [s["win"], 0],
-                   "speedup_vs_dense": t_d / t_w},
-        "doc_mask": {"ms": t_s * 1e3, "sparsity": 0.875,
-                     "speedup_vs_dense": t_d / t_s},
-    }
-
-
-def stage_serving(cpu):
-    # Config/batch resolved ONCE before the loop (ADVICE r3: binding batch
-    # inside one loop branch made correctness depend on iteration order).
-    # _serving_setup goes through _setup_worker, which pins the backend
-    # correctly before any jax query.
-    s = _serving_setup(cpu, "dtype")
-    batch = s["batch"]
-    results = {"config": s["config"]}
-    del s
-    for cache_kind in ("dtype", "int8"):
-        _note(f"serving: timing decode ({cache_kind} cache)")
-        t = _timed(f"serving_{cache_kind}", cpu)
-        results[cache_kind] = {
-            "decode_step_ms": t * 1e3,
-            "tokens_per_s": batch / t,
-        }
-    results["int8"]["speedup_vs_dense_cache"] = (
-        results["dtype"]["decode_step_ms"] / results["int8"]["decode_step_ms"]
-    )
-    return results
-
-
-def stage_mla(cpu):
-    """MLA absorbed latent-cache decode vs dense-cache decode (the serving
-    claim for the MLA family)."""
+def stage_acc_mla(cpu):
+    """MLA decode parity: one absorbed step vs one dense step from identical
+    state (no timings — those are orchestrated per-job)."""
     import numpy as np
 
-    _note("mla: timing absorbed + dense decode")
-    t_abs = _timed("mla_absorbed", cpu)
-    t_dense = _timed("mla_dense", cpu)
-
-    # Parity: one absorbed step vs one dense step from identical state
-    # (in-process: not a timing).
     sa = _mla_setup(cpu, "absorbed")
     sd = _mla_setup(cpu, "dense")
     y_abs, _ = sa["fn"](*sa["args"])
@@ -856,25 +802,17 @@ def stage_mla(cpu):
     y_abs = np.asarray(y_abs, np.float32)
     y_dense = np.asarray(y_dense, np.float32)
     rel = float(np.linalg.norm(y_abs - y_dense) / np.linalg.norm(y_dense))
-    bytes_ratio = (2 * sa["heads"] * sa["d"]) / sa["latent"]
     return {
-        "absorbed_step_ms": t_abs * 1e3,
-        "dense_step_ms": t_dense * 1e3,
-        "speedup": t_dense / t_abs,
         "parity_relerr": rel,
-        "cache_bytes_ratio": bytes_ratio,
+        "cache_bytes_ratio": (2 * sa["heads"] * sa["d"]) / sa["latent"],
         "config": sa["config"],
     }
 
 
 STAGE_FNS = {
     "probe": stage_probe,
-    "core": stage_core,
-    "train": stage_train,
-    "flux": stage_flux,
-    "masks": stage_masks,
-    "serving": stage_serving,
-    "mla": stage_mla,
+    "acc_core": stage_acc_core,
+    "acc_mla": stage_acc_mla,
 }
 
 

@@ -803,10 +803,25 @@ def _qflash(
     )
     if fused is not None:
         return fused[0], fused[1]
+    _require_integer_q(key)
     (out, lse), _ = _qflash_fwd(
         key, q, k, v, bias, block_map, fetch_kv, fetch_q, hold_kv, fill_kv
     )
     return out, lse
+
+
+def _require_integer_q(key):
+    """Dense-Q (q_precision bf16/fp16/fp32, K/V integer) only exists in the
+    fused single-launch kernel — the two-pass quantizer has no passthrough
+    stream. Fail loudly instead of silently quantizing Q."""
+    if not key.config.q_precision.is_integer:
+        raise ValueError(
+            "q_precision="
+            f"{key.config.q_precision.value} (dense-Q) requires the fused "
+            "single-launch path, but this call falls back to the two-pass "
+            "kernels (unsupported mask/mode/shape — see "
+            "fused_path_supported). Use an integer q_precision here."
+        )
 
 
 def _qflash_fwd(
@@ -819,10 +834,15 @@ def _qflash_fwd(
     )
     if fused is not None:
         out, lse, qt_q, qt_k, qt_v, qm, vm = fused
+        if qt_q is None:
+            # Dense-Q: no Q residual exists; the backward consumes the raw
+            # Q array directly (STE on Q is the identity).
+            qt_q = q
         return (out, lse), (
             qt_q, qt_k, qt_v, qm, vm, bias, block_map, fetch_kv, fetch_q,
             hold_kv, fill_kv, out, lse,
         )
+    _require_integer_q(key)
 
     v_tile_k = None
     if key.config.pv_int8:
@@ -875,10 +895,29 @@ def _qflash_bwd(key: _QAttnKey, residuals, g):
     #   * ASYMMETRIC: dequantize + dense backward (zero-point corrections in
     #     the backward matmuls aren't worth the complexity for this rarer
     #     config).
+    # Dense-Q stores the RAW q array in qt_q's slot (no residual exists).
+    q_dense = not isinstance(qt_q, QuantizedTensor)
     symmetric = all(
-        t.strategy == QuantStrategy.SYMMETRIC for t in (qt_q, qt_k, qt_v)
+        t.strategy == QuantStrategy.SYMMETRIC
+        for t in ((qt_k, qt_v) if q_dense else (qt_q, qt_k, qt_v))
     )
-    if symmetric:
+    if q_dense:
+        # Dense backward on (q, deq(k'), deq(v')+vm) with the quantized
+        # forward's out/lse — exactly the function the forward computed
+        # (K-mean stays subtracted: softmax-invariant; V-mean was added in
+        # the epilogue, and P rows sum to 1, so v = ṽ + vm reproduces out).
+        q_dq = qt_q.astype(jnp.float32)
+        k_dq = dequantize(qt_k, jnp.float32)
+        v_dq = dequantize(qt_v, jnp.float32)
+        if vm is not None:
+            v_dq = v_dq + vm
+        dq, dk, dv = flash_attention_backward(
+            q_dq, k_dq, v_dq, out.astype(jnp.float32),
+            lse, g.astype(jnp.float32), bias, g_lse, block_map, fetch_kv,
+            fetch_q, causal=key.causal, window=key.window, scale=key.scale,
+            block_sizes=key.block_sizes, interpret=key.interpret,
+        )
+    elif symmetric:
         from umfa_tpu.ops.quant_bwd import quantized_attention_backward
 
         corr = None
@@ -921,9 +960,10 @@ def _qflash_bwd(key: _QAttnKey, residuals, g):
     elif key.bias_grad:
         from umfa_tpu.ops.flash_bwd import flash_attention_bias_grad
 
-        if symmetric:
+        if symmetric and not q_dense:
             # The opt-in bias-grad sweep still runs on dequantized operands
-            # (it is a separate full kernel pass either way).
+            # (it is a separate full kernel pass either way). q_dense
+            # already has q_dq/k_dq/v_dq in scope from its branch above.
             q_dq = dequantize(qt_q, jnp.float32)
             k_dq = dequantize(qt_k, jnp.float32)
             v_dq = dequantize(qt_v, jnp.float32)
@@ -956,7 +996,7 @@ def _qflash_bwd(key: _QAttnKey, residuals, g):
     dhold = None if hold_kv is None else jnp.zeros_like(hold_kv)
     dfill = None if fill_kv is None else jnp.zeros_like(fill_kv)
     return (
-        dq.astype(qt_q.orig_dtype),
+        dq.astype(qt_q.dtype if q_dense else qt_q.orig_dtype),
         dk.astype(qt_k.orig_dtype),
         dv.astype(qt_v.orig_dtype),
         dbias,
