@@ -281,6 +281,18 @@ def _rect_mode_ok(
     )
 
 
+def _rope_rotate_block(x, cos_t, sin_t):
+    """In-register RoPE rotation, rotate-half convention: the feature pairs
+    are (x_i, x_{i+D/2}), so both halves are CONTIGUOUS lane slices —
+    Mosaic-friendly (a stride-2 interleaved lane gather is not). cos_t and
+    sin_t are full-width (rows, D): the (rows, D/2) angle tables duplicated
+    along lanes by the host. FP32 math (rotation feeds the FP32 softmax
+    scale fold anyway)."""
+    h = x.shape[1] // 2
+    rot = jnp.concatenate([-x[:, h:], x[:, :h]], axis=1)
+    return x * cos_t + rot * sin_t
+
+
 def _fwd_kernel(
     # refs (bias_ref only present when has_bias)
     *refs,
@@ -295,6 +307,7 @@ def _fwd_kernel(
     has_bias: bool,
     has_map: bool,
     has_fetch: bool,
+    has_rope: bool,
     kv_cache: bool,
     group: int,
     vc_width: int,
@@ -316,6 +329,14 @@ def _fwd_kernel(
     if has_map:
         map_ref = refs[idx]
         idx += 1
+    cq_ref = sq_ref = ck_ref = sk_ref = None
+    if has_rope:
+        # Fused RoPE: angle-table blocks ride the SAME index maps as Q and
+        # K (incl. the cache-fill aliasing), so rotated Q/K never exist in
+        # HBM at all (reference: rope_instream route,
+        # examples/pytorch-custom-op-ffi/src/metal_sdpa_backend.cpp:2883-3133).
+        cq_ref, sq_ref, ck_ref, sk_ref = refs[idx:idx + 4]
+        idx += 4
     o_ref, lse_ref, m_scr, l_scr, acc_scr, q_scr = refs[idx:idx + 6]
     idx += 6
     kcache = vcache = None
@@ -351,9 +372,10 @@ def _fwd_kernel(
         # `s * scale` is a full VPU pass over the (block_q, block_k) score
         # tile that Mosaic does not fuse into the exp — measured ~0.5 ms of
         # the flux-geometry forward (one tile pass ≈ 0.8 µs × 648 steps).
-        q_scr[...] = (
-            q_ref[0, 0].astype(jnp.float32) * scale
-        ).astype(q_scr.dtype)
+        qf = q_ref[0, 0].astype(jnp.float32)
+        if has_rope:
+            qf = _rope_rotate_block(qf, cq_ref[...], sq_ref[...])
+        q_scr[...] = (qf * scale).astype(q_scr.dtype)
 
     visible, partial = _block_visible(
         q_start,
@@ -399,7 +421,14 @@ def _fwd_kernel(
 
         @pl.when(fill)
         def _fill_kv_cache():
-            kcache[pl.ds(k_start, block_k), :] = k_ref[0, 0]
+            kt = k_ref[0, 0]
+            if has_rope:
+                # K rotates once per tile at cache fill (leader head only);
+                # every later q-block reads the rotated VMEM rows.
+                kt = _rope_rotate_block(
+                    kt.astype(jnp.float32), ck_ref[...], sk_ref[...]
+                ).astype(kt.dtype)
+            kcache[pl.ds(k_start, block_k), :] = kt
             vt = v_ref[0, 0]
             if vc_width > head_dim:
                 # Ones column (row-sum rides the P·V matmul) + zero padding
@@ -745,6 +774,8 @@ def flash_attention_forward(
     out_dtype=None,
     interpret: bool = False,
     debug: bool = False,
+    rope_cos: Optional[jax.Array] = None,
+    rope_sin: Optional[jax.Array] = None,
 ):
     """Fused flash attention forward with LSE.
 
@@ -756,6 +787,13 @@ def flash_attention_forward(
       causal: causal masking flag.
       window: optional (left, right) sliding window; -1 = unbounded side.
       scale: softmax scale (default 1/sqrt(D)).
+      rope_cos/rope_sin: optional (S >= max(Sq, Sk), D/2) RoPE angle tables.
+        When given, Q and K are rotated IN-KERNEL (rotate-half convention):
+        Q per q-block at load, K once per tile at cache fill — rotated Q/K
+        never exist in HBM. Requires the persistent-KV-cache layout; calls
+        that fall to the streaming layout (block masks, compacted walks,
+        cross-attention with causal/window, tiny/huge shapes) rotate in XLA
+        instead — same values, one extra HBM round trip.
 
     Returns:
       (out (B, Hq, Sq, D) in out_dtype (default q.dtype), lse (B, Hq, Sq) FP32)
@@ -855,11 +893,49 @@ def flash_attention_forward(
         and not (rb is not None and seq_q != seq_k)
         and _os.environ.get("UMFA_DISABLE_KV_CACHE", "0") != "1"
     )
+    has_rope = rope_cos is not None
+    if has_rope:
+        assert rope_sin is not None and head_dim % 2 == 0
+        assert rope_cos.shape[0] >= max(seq_q, seq_k), (
+            rope_cos.shape, seq_q, seq_k
+        )
+
+        def _tab(t, rows):
+            # Full-width (rows, D) table: the (S, D/2) angles duplicated
+            # along lanes (rotate-half pairs features i and i + D/2), rows
+            # zero-padded to the padded sequence (padded rows are masked or
+            # sliced off downstream either way).
+            t = jnp.concatenate([t, t], axis=-1).astype(jnp.float32)
+            if t.shape[0] < rows:
+                t = jnp.pad(t, ((0, rows - t.shape[0]), (0, 0)))
+            return t[:rows]
+
+        if use_kv_cache:
+            cq_tab = _tab(rope_cos, padded_sq)
+            sq_tab = _tab(rope_sin, padded_sq)
+            ck_tab = _tab(rope_cos, padded_sk)
+            sk_tab = _tab(rope_sin, padded_sk)
+        else:
+            # Streaming layout has no single fill point for K — rotate in
+            # XLA (same rotate-half values, one extra HBM round trip).
+            def _rot_xla(x, rows):
+                c = _tab(rope_cos, rows)[None, None]
+                s = _tab(rope_sin, rows)[None, None]
+                xf = x.astype(jnp.float32)
+                h2 = head_dim // 2
+                rot = jnp.concatenate(
+                    [-xf[..., h2:], xf[..., :h2]], axis=-1
+                )
+                return (xf * c + rot * s).astype(x.dtype)
+
+            q_pad = _rot_xla(q_pad, padded_sq)
+            k_pad = _rot_xla(k_pad, padded_sk)
+            has_rope = False
     if _os.environ.get("UMFA_DEBUG", "0") == "1":
         print(
             f"[umfa] fwd S={seq_q}/{seq_k} D={head_dim} blocks="
             f"({block_q},{block_k}) kv_cache={use_kv_cache} "
-            f"cache_bytes={cache_bytes}"
+            f"cache_bytes={cache_bytes} rope_fused={has_rope}"
         )
 
     def _ki_eff(b, h, qi, ki, refs):
@@ -977,6 +1053,19 @@ def flash_attention_forward(
         )
         args.append(block_map)
 
+    if has_rope:
+        # Angle-table blocks ride the same index maps as Q and K so their
+        # DMAs elide/fire in lockstep with the operands they rotate.
+        rq_spec = pl.BlockSpec(
+            (block_q, head_dim), lambda b, h, qi, ki, *refs: (qi, 0)
+        )
+        rk_spec = pl.BlockSpec(
+            (block_k, head_dim),
+            lambda b, h, qi, ki, *refs: (_cached_kv_idx(b, h, qi, ki)[2], 0),
+        )
+        in_specs += [rq_spec, rq_spec, rk_spec, rk_spec]
+        args += [cq_tab, sq_tab, ck_tab, sk_tab]
+
     out_specs = [
         pl.BlockSpec(
             (1, 1, block_q, head_dim),
@@ -1013,6 +1102,7 @@ def flash_attention_forward(
         has_bias=has_bias,
         has_map=has_map,
         has_fetch=has_fetch,
+        has_rope=has_rope,
         kv_cache=use_kv_cache,
         group=group,
         vc_width=vc_width,
