@@ -68,6 +68,8 @@ JOBS = [
     ("time", "core_int8qd"),     # dense-Q serving config (KV int8, Q bf16)
     ("time", "serving_dtype"),
     ("time", "serving_int8"),
+    ("time", "serving_attn_dtype"),
+    ("time", "serving_attn_int8"),
     ("time", "mla_absorbed"),
     ("time", "mla_dense"),
     ("time", "masks_causal"),
@@ -270,6 +272,11 @@ def _extras(results):
         "serving_dense_step_ms": ms("serving_dtype"),
         "serving_int8_step_ms": ms("serving_int8"),
         "serving_int8_speedup": ratio("serving_dtype", "serving_int8"),
+        "serving_attn_dense_ms": ms("serving_attn_dtype"),
+        "serving_attn_int8_ms": ms("serving_attn_int8"),
+        "serving_attn_int8_speedup": ratio(
+            "serving_attn_dtype", "serving_attn_int8"
+        ),
         "mla_latent_decode_speedup": ratio("mla_dense", "mla_absorbed"),
         "mla_absorbed_step_ms": ms("mla_absorbed"),
         "mla_parity_relerr": g("acc_mla", "parity_relerr"),
@@ -583,6 +590,70 @@ def _t_serving(cache_kind):
     return build
 
 
+def _serving_attn_setup(cpu, cache_kind):
+    """Decode ATTENTION in isolation (depth x decode_attention per step,
+    no model, no append): the kernel-level int8-KV claim. The model-level
+    step above carries a ~0.4-0.6 ms/step while-loop carry-copy tax on
+    this backend (byte-proportional, hits BOTH cache kinds — measured
+    r5, scripts/serving_ab.py + minimal repros in docs/PERFORMANCE.md)
+    that compresses the model-level ratio; the attention read path is
+    where the reference's "quantized up to 1.3x in memory-bound
+    workloads" claim lives (README.md:70)."""
+    jax = _setup_worker(cpu)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from umfa_tpu.serving.decode import decode_attention
+    from umfa_tpu.serving import kv_cache as kvc
+
+    on_cpu = jax.default_backend() == "cpu"
+    rng = np.random.default_rng(0)
+    if on_cpu:
+        heads, kv_heads, depth, batch, ctx, d = 4, 2, 2, 2, 128, 64
+    else:
+        heads, kv_heads, depth, batch, ctx, d = 16, 8, 8, 8, 4096, 64
+    fill = ctx - 64
+    k = jnp.asarray(rng.normal(0, 1, (batch, kv_heads, fill, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(0, 1, (batch, kv_heads, fill, d)), jnp.bfloat16)
+    caches = []
+    for _ in range(depth):
+        if cache_kind == "int8":
+            c = kvc.init_quantized_cache(batch, kv_heads, ctx, d)
+            c = kvc.append_quantized(c, k, v)
+        else:
+            c = kvc.init_cache(batch, kv_heads, ctx, d, jnp.bfloat16)
+            c = kvc.append(c, k, v)
+        caches.append(c)
+    q1 = jnp.asarray(rng.normal(0, 1, (batch, heads, 1, d)), jnp.bfloat16)
+    CHUNK = 2 if on_cpu else 8
+    interpret = on_cpu
+
+    def chunk(q1, caches):
+        def body(i, carry):
+            x, caches = carry
+            for cache in caches:
+                att = decode_attention(
+                    q1 + x * 0, cache, interpret=interpret
+                )
+                x = x + att * 1e-6
+            return x, caches
+
+        return jax.lax.fori_loop(0, CHUNK, body, (q1 * 0, caches))
+
+    return {
+        "fn": chunk, "args": (q1, caches),
+        "iters": 2 if on_cpu else 16, "chunk": CHUNK,
+    }
+
+
+def _t_serving_attn(cache_kind):
+    def build(cpu):
+        s = _serving_attn_setup(cpu, cache_kind)
+        return s["fn"], s["args"], s["iters"], 1.0 / s["chunk"]
+
+    return build
+
+
 def _mla_setup(cpu, kind):
     """MLA decode at DeepSeek-ish geometry (dim 1024, 16 heads, latent 128 =
     8x KV compression, ctx 4096). `kind` = "absorbed" (latent cache +
@@ -691,6 +762,8 @@ TIMINGS = {
     "masks_sparse": _t_masks("sparse"),
     "serving_dtype": _t_serving("dtype"),
     "serving_int8": _t_serving("int8"),
+    "serving_attn_dtype": _t_serving_attn("dtype"),
+    "serving_attn_int8": _t_serving_attn("int8"),
     "mla_absorbed": _t_mla("absorbed"),
     "mla_dense": _t_mla("dense"),
 }

@@ -109,6 +109,8 @@ def run_one(name):
             jnp.bfloat16,
         )
 
+        hkv = cfg.num_kv_heads
+
         def chunk(q1, kv1, caches):
             def body(i, carry):
                 x, caches = carry
@@ -116,7 +118,10 @@ def run_one(name):
                 for cache in caches:
                     if do_append:
                         ap = append_quantized if kind == "int8" else append
-                        cache = ap(cache, kv1 + x * 0, kv1, pos=cache.length[0])
+                        cache = ap(
+                            cache, kv1 + x[:, :hkv] * 0, kv1,
+                            pos=cache.length[0],
+                        )
                     att = decode_attention(q1 + x * 0, cache)
                     x = x + att * 1e-6  # consume, keep shapes
                     new.append(cache)
