@@ -75,6 +75,8 @@ JOBS = [
     ("time", "masks_causal"),
     ("time", "masks_window"),
     ("time", "masks_sparse"),
+    ("time", "longctx_dense"),   # S=32K single-chip long-context claim
+    ("time", "longctx_causal"),  # (§5.7: builder-only through r4)
     ("time", "train_dense"),
     ("time", "train_int8"),
     ("time", "train_int4"),
@@ -263,6 +265,9 @@ def _extras(results):
         # shape, and inputs — masks_dense was a duplicate timing slot).
         "sparse_speedup": ratio("core_fused", "masks_sparse"),
         "window_speedup": ratio("core_fused", "masks_window"),
+        "longctx_dense_ms": ms("longctx_dense"),
+        "longctx_causal_ms": ms("longctx_causal"),
+        "longctx_causal_ratio": ratio("longctx_causal", "longctx_dense"),
         "train_dense_ms": ms("train_dense"),
         "train_int8_ms": ms("train_int8"),
         "train_int4_ms": ms("train_int4"),
@@ -529,6 +534,39 @@ def _t_masks(variant):
     return build
 
 
+def _longctx_setup(cpu):
+    """Single-chip long-context (S=32K): flash tiling keeps working-set in
+    VMEM where the materializing baseline cannot run at all (the [S,S]
+    score tensor alone is 4 GB). causal:dense ratio witnesses the
+    diagonal/rectangular sub-tiling (ideal 0.5; r3 builder-measured 0.65)."""
+    jax = _setup_worker(cpu)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from umfa_tpu.ops.attention import flash_attention
+
+    on_cpu = jax.default_backend() == "cpu"
+    B, H, S, D = (1, 2, 512, 64) if on_cpu else (1, 16, 32768, 64)
+    rng = np.random.default_rng(0)
+    q, k, v = _rand_qkv(rng, (B, H, S, D), jnp.bfloat16)
+    fns = {
+        "dense": jax.jit(lambda q, k, v: flash_attention(q, k, v)),
+        "causal": jax.jit(lambda q, k, v: flash_attention(q, k, v, causal=True)),
+    }
+    return {
+        "shape": (B, H, S, D), "q": q, "k": k, "v": v,
+        "iters": 2 if on_cpu else 16, "fns": fns,
+    }
+
+
+def _t_longctx(variant):
+    def build(cpu):
+        s = _longctx_setup(cpu)
+        return s["fns"][variant], (s["q"], s["k"], s["v"]), s["iters"], 1.0
+
+    return build
+
+
 def _serving_setup(cpu, cache_kind):
     jax = _setup_worker(cpu)
     import jax.numpy as jnp
@@ -756,6 +794,8 @@ TIMINGS = {
     "train_int4": _t_train("int4"),
     "flux_bf16": _t_flux("bf16"),
     "flux_int8": _t_flux("int8"),
+    "longctx_dense": _t_longctx("dense"),
+    "longctx_causal": _t_longctx("causal"),
     "masks_dense": _t_masks("dense"),
     "masks_causal": _t_masks("causal"),
     "masks_window": _t_masks("window"),
