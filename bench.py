@@ -75,13 +75,13 @@ JOBS = [
     ("time", "masks_causal"),
     ("time", "masks_window"),
     ("time", "masks_sparse"),
-    ("time", "longctx_dense"),   # S=32K single-chip long-context claim
-    ("time", "longctx_causal"),  # (§5.7: builder-only through r4)
     ("time", "train_dense"),
     ("time", "train_int8"),
     ("time", "train_int4"),
     ("time", "flux_bf16"),
     ("time", "flux_int8"),
+    ("time", "longctx_dense"),   # S=32K single-chip long-context claim
+    ("time", "longctx_causal"),  # (§5.7: builder-only through r4)
     ("acc", "acc_core"),
     ("time", "core_int4"),
     ("time", "core_int8pv"),
@@ -91,6 +91,9 @@ ACC_TIMEOUT_S = 590
 PROBE_TIMEOUT_S = 300
 PROBE_ATTEMPTS = 2
 TIME_TIMEOUT_S = 590
+# Cold-compile outliers (r5 recon: core_int8pv's Mosaic compile alone blew
+# the 590 s budget; it's last-priority so a long timeout risks nothing).
+TIME_TIMEOUT_OVERRIDE_S = {"core_int8pv": 900}
 
 
 def _note(msg):
@@ -206,8 +209,9 @@ def orchestrate():
         t0 = time.time()
         if kind == "time":
             try:
+                budget = TIME_TIMEOUT_OVERRIDE_S.get(name, TIME_TIMEOUT_S)
                 results["times"][name] = _timed(
-                    name, force_cpu, timeout_s=min(TIME_TIMEOUT_S, remaining)
+                    name, force_cpu, timeout_s=min(budget, remaining)
                 )
             except RuntimeError as e:  # noqa: BLE001
                 _note(f"job {name}: FAILED ({e})")

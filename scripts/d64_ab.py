@@ -70,9 +70,13 @@ def _mxu_probe_fn(M, K, N, reps, interpret):
         a = a_ref[...]
 
         def body(i, acc):
-            # (1,1) accumulator slice, scaled into bf16 underflow: exactly
-            # +0.0 at runtime, but a data dependence the compiler must honor.
-            eps = (acc[0:1, 0:1] * 1e-30).astype(jnp.bfloat16)
+            # Scalar from the accumulator, scaled into bf16 underflow: ~0
+            # at runtime (absorbed exactly by bf16 rounding of b's ~1e-3
+            # values), but a data dependence the compiler must honor. A
+            # (1,1)->(K,N) vector broadcast is NOT Mosaic-lowerable for
+            # bf16 ("Broadcast in both sublanes and lanes"); a scalar
+            # splat is.
+            eps = (jnp.max(acc[0:1, :]) * 1e-38).astype(jnp.bfloat16)
             bi = b_ref[...] + eps
             return acc + jnp.dot(a, bi, preferred_element_type=jnp.float32)
 
@@ -110,11 +114,13 @@ def run_one(name):
         if on_cpu:  # interpret-mode smoke only
             M, reps, iters = 256, 8, 2
         else:
-            reps, iters = R, 32
+            # iters=16 keeps it to TWO Mosaic compiles (time_op builds one
+            # module per loop count) inside the 900 s per-variant budget.
+            reps, iters = R, 16
         a = jnp.asarray(rng.normal(0, 1, (M, K)), jnp.bfloat16)
         b = jnp.asarray(rng.normal(0, 1e-3, (K, N)), jnp.bfloat16)
         fn = jax.jit(_mxu_probe_fn(M, K, N, reps, on_cpu))
-        t = time_op(fn, a, b, iters=iters) / reps
+        t = time_op(fn, a, b, iters=iters, reps=5) / reps
         flops = 2.0 * M * K * N
     else:
         from umfa_tpu.ops.attention import flash_attention
@@ -142,10 +148,14 @@ def main():
     results = {}
     for name in names:
         env = dict(os.environ, _D64_ONE=name)
-        p = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=590,
-        )
+        try:
+            p = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"{name}: TIMEOUT (900s)", file=sys.stderr)
+            continue
         line = [l for l in p.stdout.splitlines() if l.startswith("{")]
         if line:
             results[name] = json.loads(line[-1])
