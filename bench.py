@@ -253,11 +253,15 @@ def _extras(results):
 
     def ms(name):
         s = t.get(name)
-        return round(s * 1e3, 4) if s else None
+        # < 100 ns per op is not a measurement (time_op clamps an inverted
+        # slope to 1e-9 s); report null rather than a garbage ratio.
+        return round(s * 1e3, 4) if s and s > 1e-7 else None
 
     def ratio(num, den):
         a, b = t.get(num), t.get(den)
-        return round(a / b, 4) if a and b else None
+        if not (a and b) or a <= 1e-7 or b <= 1e-7:
+            return None
+        return round(a / b, 4)
 
     def g(stage, *path):
         cur = acc.get(stage, {})
@@ -786,9 +790,14 @@ def _mla_setup(cpu, kind):
 
             return jax.lax.fori_loop(0, CHUNK, body, (x, cache))
 
+    # The absorbed step is ~10 us: at 16 iters the whole measured region
+    # is ~1-2 ms and relay RTT jitter can INVERT the slope (pass-3 r5
+    # emitted 0.0 ms / a 4.7e6x ratio). 256 iters puts the region at
+    # ~30-40 ms, two orders above the jitter floor.
+    iters = 2 if on_cpu else (256 if kind == "absorbed" else 16)
     return {
         "fn": chunk, "args": (params, x0, cache),
-        "iters": 2 if on_cpu else 16, "chunk": CHUNK,
+        "iters": iters, "chunk": CHUNK,
         "heads": heads, "d": d, "latent": latent,
         "config": dict(dim=dim, heads=heads, latent=latent, batch=batch,
                        ctx=ctx, chunk=CHUNK),
